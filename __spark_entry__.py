@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: KG construction + SHACL-style validation
+                  over the sf0.001 test tables.
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+
+# CustomerShape: name exactly once (string), acctbal >= -500.00,
+# nation must be a Nation instance. Exercises datatype, cardinality,
+# numeric range and class components over the demo KG.
+CUSTOMER_SHAPES = [
+    {
+        "label": "CustomerShape",
+        "targets": [{"kind": "targetClass", "value": EX + "Customer"}],
+        "constraints": [
+            {"path": EX + "name", "minCount": 1, "maxCount": 1,
+             "node": {"kind": "datatype", "iri": XSD_STRING}},
+            {"path": EX + "acctbal", "minCount": 1, "maxCount": 1,
+             "node": {"kind": "and", "exprs": [
+                 {"kind": "datatype", "iri": XSD_DECIMAL},
+                 {"kind": "minInclusive", "value": "0"}]}},
+            {"path": EX + "nation", "minCount": 1,
+             "node": {"kind": "class", "iri": EX + "Nation"}},
+        ],
+    },
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the demo KG from sf0.001 and validate
+    CustomerShape over all rdf:type targets."""
+    from shaclex_spark.shapes import SchemaDict
+    from shaclex_spark.sources.kg import kg_triples
+    from shaclex_spark.triggers import target_focus
+    from shaclex_spark.validation import ValidationEngine
+
+    triples = kg_triples(spark, SF0001)
+    schema = SchemaDict.from_json(CUSTOMER_SHAPES)
+    engine = ValidationEngine(spark, schema, triples)
+    focus = target_focus(spark, schema, triples)
+    res = engine.validate(focus)
+    return res.conformance.orderBy("node")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from shaclex_spark import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from shaclex_spark import queries as Q
+
+    return Q.ORACLES

@@ -1,0 +1,116 @@
+"""Triple extraction: transcript turns → candidate (subj, pred, obj)
+triples, via a vectorized Arrow-batched extractor (mapInPandas).
+
+This replaces the reference's "parse RDF file" ingestion
+(/root/reference/src/main/scala/es/weso/shaclex/Main.scala:256-261)
+with the north-star extraction stage: batched regex mention/relation
+detection over turn text (no per-row Python UDF — pandas .str ops run
+C-side over whole Arrow batches).
+
+Determinism: pure function of the text; mention IRIs are slugged
+surface forms under the mention/ namespace, later canonicalized by
+linking.py. Provenance (conv_id, turn_idx) is carried on every triple
+(north_rule: per-partition lineage).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .model import TRIPLES_PROV_SCHEMA, XSD_INTEGER, XSD_STRING
+
+EX = "http://example.org/"
+FOAF_KNOWS = "http://xmlns.com/foaf/0.1/knows"
+MENTION = EX + "mention/"
+
+# (pattern, pred, subj_group, obj_group, obj handling)
+# Patterns mirror the synthetic templates in transcripts.py; a real
+# deployment swaps in an NER/RE model inside the same mapInPandas hook.
+NAME = r"[A-Za-z][A-Za-z.]*(?: [A-Za-z][A-Za-z.]*){0,2}"
+RULES: list[tuple[str, str, str]] = [
+    (rf"^(?P<s>{NAME}) is enrolled in (?P<o>[a-z]{{2}}\d+)\.$",
+     EX + "enrolledIn", "course"),
+    (rf"^(?P<s>{NAME}) knows (?P<o>{NAME})\.$", FOAF_KNOWS, "mention"),
+    (r"^(?P<s>[a-z]{2}\d+) has subject (?P<o>[A-Za-z]+)\.$",
+     EX + "hasSubject", "str"),
+    (rf"^(?P<s>{NAME}) is (?P<o>\d+) years old\.$", EX + "age", "int"),
+    (rf"^(?P<s>{NAME}) works at (?P<o>org[a-z])\.$", EX + "worksFor", "org"),
+]
+_COMPILED = [(re.compile(p), pred, objmode) for p, pred, objmode in RULES]
+
+_SLUG_RE = re.compile(r"[^a-z0-9]+")
+
+
+def slug(series: pd.Series) -> pd.Series:
+    return series.str.lower().str.replace(_SLUG_RE, "_", regex=True).str.strip("_")
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    outs = []
+    text = pdf["text"]
+    for rx, pred, objmode in _COMPILED:
+        m = text.str.extract(rx)
+        hit = m["s"].notna()
+        if not hit.any():
+            continue
+        sub = pdf.loc[hit, ["conv_id", "turn_idx"]].copy()
+        subj_is_course = pred == EX + "hasSubject"
+        if subj_is_course:
+            sub["subj"] = EX + "course/" + m.loc[hit, "s"]
+        else:
+            sub["subj"] = MENTION + slug(m.loc[hit, "s"])
+        sub["pred"] = pred
+        o = m.loc[hit, "o"]
+        if objmode == "course":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "iri", EX + "course/" + o, None
+        elif objmode == "org":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "iri", EX + "org/" + o, None
+        elif objmode == "mention":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "iri", MENTION + slug(o), None
+        elif objmode == "int":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "literal", o, XSD_INTEGER
+        else:  # plain string literal
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "literal", o, XSD_STRING
+        sub["obj_lang"] = None
+        outs.append(sub)
+    if not outs:
+        return pd.DataFrame(columns=[f.name for f in TRIPLES_PROV_SCHEMA.fields])
+    out = pd.concat(outs, ignore_index=True)
+    return out[["subj", "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang",
+                "conv_id", "turn_idx"]]
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """Transcripts → mention-level candidate triples (with provenance)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _extract_batch(pdf)
+
+    # column pruning before the Python boundary: ship only what the
+    # extractor reads (text) + provenance keys over Arrow.
+    slim = transcripts.select("conv_id", "turn_idx", "text")
+    return slim.mapInPandas(gen, schema=TRIPLES_PROV_SCHEMA)
+
+
+def turn_ordering_check(transcripts: DataFrame) -> DataFrame:
+    """Invariant from input_hint: per-turn text must be stable under
+    (conv_id, turn_idx) ordering — returns (conv_id, fingerprint) where
+    the fingerprint hashes texts in turn order; independent of ts or
+    physical row order."""
+    # one groupBy (single shuffle): collect (turn_idx, text) structs,
+    # sort by turn_idx, hash the concatenation — no window needed.
+    ordered = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"]),
+        "")
+    return transcripts.groupBy("conv_id").agg(F.md5(ordered).alias("fingerprint"))

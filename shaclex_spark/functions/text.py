@@ -1,0 +1,121 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID features, document fingerprinting.
+
+All native Spark expressions (JVM-side, codegen'd) — each has an exact
+ANSI-SQL oracle twin in queries.py. These are the text-pipeline ops a
+large-scale training-data build needs on top of the KG engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tokens: runs of word characters (BPE-ish lower bound: words + digits
+# split), matching regexp behavior available in both Spark and DuckDB.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "for"]
+
+
+def tokens(col: Column) -> Column:
+    """array of tokens via regexp scan (JVM regex, no UDF)."""
+    return F.regexp_extract_all(col, F.lit(f"({TOKEN_RE})"), 1)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"([A-Za-z0-9]+)"), 1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"([^A-Za-z0-9\s])"), 1))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    words = F.regexp_extract_all(col, F.lit(r"([A-Za-z0-9]+)"), 1)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: long enough, not too
+    punctuation-heavy, reasonable word lengths, some stopwords."""
+    len_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    mwl = mean_word_len(col)
+    wl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.least(stopword_ratio(col) * 10, F.lit(1.0))
+    return (len_ok + punct_ok + wl_ok + stop_ok) / 4
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Order-independent content fingerprint: md5 over the sorted
+    distinct token set (bag fingerprint — near-dup resistant to
+    reordering)."""
+    toks = F.array_sort(F.array_distinct(
+        F.transform(tokens(col), lambda t: F.lower(t))))
+    return F.md5(F.array_join(toks, " "))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        word_count(c).alias("n_words"),
+        F.round(stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        F.round(quality_score(c), 6).alias("quality"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+# language-ID: tiny function-word n-gram heuristic. Scores = hit counts
+# of per-language marker words; argmax with deterministic tie-break on
+# language code. (The synthetic corpus is English-like word salad — the
+# point is the distributed scoring pattern, exercised end-to-end.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    # max score, tie-break by lang code ascending: sort by (-score, lang)
+    best = F.array_sort(pairs, lambda a, b:
+                        F.when(a["score"] > b["score"], -1)
+                        .when(a["score"] < b["score"], 1)
+                        .when(a["lang"] < b["lang"], -1)
+                        .when(a["lang"] > b["lang"], 1)
+                        .otherwise(0))[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["score"].cast("int").alias("lang_score"),
+    )

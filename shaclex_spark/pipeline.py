@@ -1,0 +1,123 @@
+"""End-to-end KG construction pipeline (north_rule):
+
+    transcripts → extraction (pandas UDF) → entity linking +
+    canonicalization → triples table → shape validation → report,
+
+with per-partition lineage metrics for idempotent checkpoint resume.
+
+Spark-native lifecycle mapping of the reference CLI flow
+(SURVEY.md §3.1 'Spark-native equivalent').
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .extraction import extract_triples
+from .linking import canonicalize_triples
+from .shapes import SchemaDict
+from .triggers import shape_map_focus, target_focus
+from .validation import ValidationEngine, ValidationResult
+
+# Default shapes for transcript KGs: persons/courses from the extraction
+# vocabulary. Mirrors examples/clingo/paper.{shex,ttl,sm} semantics
+# (User shape with age integer {1,1}, knows refs, enrolledIn refs).
+EX = "http://example.org/"
+FOAF_KNOWS = "http://xmlns.com/foaf/0.1/knows"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+DEFAULT_SHAPES = [
+    {
+        "label": "PersonShape",
+        "targets": [{"kind": "targetSubjectsOf", "value": FOAF_KNOWS}],
+        "constraints": [
+            # ages accumulate across turns (one mention per turn), so no
+            # maxCount — just the ShEx-style "every age is an integer"
+            {"path": EX + "age", "exclusive": True,
+             "node": {"kind": "datatype", "iri": XSD_INTEGER}},
+            {"path": FOAF_KNOWS,
+             "node": {"kind": "nodeKind", "value": "IRI"}},
+            {"path": EX + "enrolledIn",
+             "node": {"kind": "pattern", "pattern": "^http://example.org/course/"}},
+        ],
+    },
+    {
+        "label": "CourseShape",
+        "targets": [{"kind": "targetObjectsOf", "value": EX + "enrolledIn"}],
+        "constraints": [
+            {"path": EX + "hasSubject", "maxCount": 3,
+             "node": {"kind": "datatype", "iri": XSD_STRING}},
+        ],
+    },
+]
+
+
+def build_kg(spark: SparkSession, transcripts: DataFrame,
+             link: bool = True) -> tuple[DataFrame, DataFrame]:
+    """transcripts → (canonical triples with provenance, mention mapping)."""
+    candidates = extract_triples(transcripts)
+    if not link:
+        return candidates, None
+    canonical, mapping = canonicalize_triples(candidates)
+    return canonical, mapping
+
+
+def validate_kg(spark: SparkSession, triples: DataFrame,
+                shapes_json: list[dict] | None = None,
+                shape_map: list[dict] | None = None) -> ValidationResult:
+    schema = SchemaDict.from_json(shapes_json or DEFAULT_SHAPES)
+    plain = triples.select("subj", "pred", "obj_kind", "obj_value",
+                           "obj_dt", "obj_lang")
+    engine = ValidationEngine(spark, schema, plain)
+    if shape_map:
+        focus = shape_map_focus(spark, plain, shape_map)
+    else:
+        focus = target_focus(spark, schema, plain)
+    return engine.validate(focus)
+
+
+def lineage_metrics(triples: DataFrame) -> DataFrame:
+    """Per-partition lineage + triple-count metrics (north_rule):
+    one row per conv_id partition bucket with triple count and a
+    content fingerprint — the resume manifest. Bucketing key matches
+    the write partitioning (salted hash(conv_id))."""
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(64)).alias("bucket")
+    return (triples
+            .groupBy(bucket)
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 # order-independent content fingerprint per bucket
+                 F.sum(F.xxhash64("subj", "pred", "obj_value")).alias("fingerprint")))
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame,
+                 output_dir: str | None = None,
+                 shapes_json: list[dict] | None = None) -> dict:
+    """Full job. If output_dir is set, materializes triples + report +
+    lineage as parquet partitioned by bucket(conv_id-hash) — the
+    Iceberg-table stand-in available in this environment (same layout:
+    partition column + snapshot-style overwrite semantics)."""
+    triples, mapping = build_kg(spark, transcripts)
+    triples = triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(64)).cast("int"))
+    result = validate_kg(spark, triples, shapes_json)
+    out = {
+        "triples": triples,
+        "mapping": mapping,
+        "conformance": result.conformance,
+        "report": result.report,
+        "lineage": lineage_metrics(triples),
+    }
+    if output_dir:
+        triples.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(os.path.join(output_dir, "triples"))
+        result.conformance.write.mode("overwrite") \
+            .parquet(os.path.join(output_dir, "conformance"))
+        result.report.write.mode("overwrite") \
+            .parquet(os.path.join(output_dir, "report"))
+        out["lineage"].write.mode("overwrite") \
+            .parquet(os.path.join(output_dir, "lineage"))
+    return out

@@ -1,0 +1,343 @@
+"""Driver-facing query registry: QUERIES (PySpark) + ORACLES (DuckDB SQL).
+
+Every entry runs the real engine over the demo KG built from the test
+tables (sources/kg.py); the oracle re-derives the same result with
+hand-written ANSI SQL over the same parquet views — an independent
+double-implementation of the constraint semantics (the driver's
+correctness gate described in the contract).
+
+Column names are aliased identically on both sides (the driver hashes
+values with columns sorted by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .shapes import SchemaDict
+from .sources.kg import KG_TRIPLES_SQL, kg_triples
+from .triggers import target_focus
+from .validation import ValidationEngine
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
+              with_report: bool = False):
+    triples = kg_triples(spark, sf_dir)
+    schema = SchemaDict.from_json(shapes)
+    engine = ValidationEngine(spark, schema, triples)
+    focus = target_focus(spark, schema, triples)
+    return engine.validate(focus)
+
+
+# ---------------------------------------------------------------------------
+# 1. trigger compilation: all four SHACL target kinds (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+_TARGET_SHAPES = [
+    {"label": "CustShape", "targets": [{"kind": "targetClass", "value": EX + "Customer"}]},
+    {"label": "OrderShape", "targets": [{"kind": "targetSubjectsOf", "value": EX + "totalprice"}]},
+    {"label": "NationShape", "targets": [{"kind": "targetObjectsOf", "value": EX + "nation"}]},
+    {"label": "PinShape", "targets": [{"kind": "targetNode", "value": EX + "c/1"}]},
+]
+
+
+@query("kg_targets", oracle=f"""
+WITH {KG_TRIPLES_SQL.strip()}
+SELECT * FROM (
+  SELECT DISTINCT subj AS node, 'CustShape' AS shape, 'targetClass' AS selector
+  FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_kind = 'iri' AND obj_value = 'http://example.org/Customer'
+  UNION ALL
+  SELECT DISTINCT subj, 'OrderShape', 'targetSubjectsOf'
+  FROM kg_triples WHERE pred = 'http://example.org/totalprice'
+  UNION ALL
+  SELECT DISTINCT obj_value, 'NationShape', 'targetObjectsOf'
+  FROM kg_triples WHERE pred = 'http://example.org/nation'
+  UNION ALL
+  SELECT 'http://example.org/c/1', 'PinShape', 'targetNode'
+)
+""")
+def kg_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = kg_triples(spark, sf_dir)
+    schema = SchemaDict.from_json(_TARGET_SHAPES)
+    return target_focus(spark, schema, triples)
+
+
+# ---------------------------------------------------------------------------
+# 2. flagship conformance: datatype + cardinality + range + class
+# ---------------------------------------------------------------------------
+
+CUSTOMER_SHAPES = [
+    {
+        "label": "CustomerShape",
+        "targets": [{"kind": "targetClass", "value": EX + "Customer"}],
+        "constraints": [
+            {"path": EX + "name", "minCount": 1, "maxCount": 1,
+             "node": {"kind": "datatype", "iri": XSD_STRING}},
+            {"path": EX + "acctbal", "minCount": 1, "maxCount": 1,
+             "node": {"kind": "and", "exprs": [
+                 {"kind": "datatype", "iri": XSD_DECIMAL},
+                 {"kind": "minInclusive", "value": "0"}]}},
+            {"path": EX + "nation", "minCount": 1,
+             "node": {"kind": "class", "iri": EX + "Nation"}},
+        ],
+    },
+]
+
+_CUSTOMER_CONF_SQL = f"""
+WITH {KG_TRIPLES_SQL.strip()},
+focus AS (
+  SELECT DISTINCT subj AS node FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Customer'
+),
+nations AS (
+  SELECT DISTINCT subj FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Nation'
+),
+agg AS (
+  SELECT f.node,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/name') AS n_name,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/name'
+      AND NOT (t.obj_kind = 'literal'
+               AND t.obj_dt = 'http://www.w3.org/2001/XMLSchema#string')) AS bad_name,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/acctbal') AS n_bal,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/acctbal'
+      AND NOT (t.obj_kind = 'literal'
+               AND t.obj_dt = 'http://www.w3.org/2001/XMLSchema#decimal'
+               AND TRY_CAST(t.obj_value AS DOUBLE) IS NOT NULL
+               AND TRY_CAST(t.obj_value AS DOUBLE) >= 0)) AS bad_bal,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/nation') AS n_nat,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/nation'
+      AND t.obj_value NOT IN (SELECT subj FROM nations)) AS bad_nat
+  FROM focus f
+  LEFT JOIN kg_triples t ON t.subj = f.node
+    AND t.pred IN ('http://example.org/name', 'http://example.org/acctbal',
+                   'http://example.org/nation')
+  GROUP BY f.node
+)
+SELECT node, 'CustomerShape' AS shape,
+  (n_name = 1 AND bad_name = 0 AND n_bal = 1 AND bad_bal = 0
+   AND n_nat >= 1 AND bad_nat = 0) AS conforms
+FROM agg
+"""
+
+
+@query("kg_conformance_customer", oracle=_CUSTOMER_CONF_SQL)
+def kg_conformance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, CUSTOMER_SHAPES)
+    return res.conformance
+
+
+@query("kg_report_customer", oracle=f"""
+WITH {KG_TRIPLES_SQL.strip()}
+SELECT t.subj AS focus_node,
+       'MinInclusiveConstraintComponent' AS component,
+       t.obj_value AS value,
+       'http://example.org/acctbal' AS path
+FROM kg_triples t
+WHERE t.pred = 'http://example.org/acctbal'
+  AND NOT (TRY_CAST(t.obj_value AS DOUBLE) IS NOT NULL
+           AND TRY_CAST(t.obj_value AS DOUBLE) >= 0)
+""")
+def kg_report_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, CUSTOMER_SHAPES)
+    return (res.report
+            .filter(F.col("component") == "MinInclusiveConstraintComponent")
+            .select("focus_node", "component", "value", "path"))
+
+
+# ---------------------------------------------------------------------------
+# 3. shape refs: order conforms iff its customer conforms (acyclic Ref)
+# ---------------------------------------------------------------------------
+
+ORDER_REF_SHAPES = CUSTOMER_SHAPES + [
+    {
+        "label": "OrderShape",
+        "targets": [{"kind": "targetClass", "value": EX + "Order"}],
+        "constraints": [
+            {"path": EX + "customer", "minCount": 1, "maxCount": 1,
+             "node": {"kind": "ref", "label": "CustomerShape"}},
+        ],
+    },
+]
+
+
+@query("kg_order_ref", oracle=f"""
+{_CUSTOMER_CONF_SQL.strip().rsplit('SELECT node,', 1)[0]}
+, cust_conf AS (
+  SELECT node,
+    (n_name = 1 AND bad_name = 0 AND n_bal = 1 AND bad_bal = 0
+     AND n_nat >= 1 AND bad_nat = 0) AS conforms
+  FROM agg
+),
+order_focus AS (
+  SELECT DISTINCT subj AS node FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Order'
+),
+order_agg AS (
+  SELECT f.node,
+    COUNT(t.subj) AS n_cust,
+    COUNT(*) FILTER (WHERE NOT COALESCE(cc.conforms, FALSE)) AS bad_cust
+  FROM order_focus f
+  LEFT JOIN kg_triples t ON t.subj = f.node
+    AND t.pred = 'http://example.org/customer'
+  LEFT JOIN cust_conf cc ON cc.node = t.obj_value
+  GROUP BY f.node
+)
+SELECT node, 'OrderShape' AS shape,
+       (n_cust = 1 AND bad_cust = 0) AS conforms
+FROM order_agg
+""")
+def kg_order_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, ORDER_REF_SHAPES)
+    return res.conformance.filter(F.col("shape") == "OrderShape")
+
+
+# ---------------------------------------------------------------------------
+# 4. closed shape over Nation
+# ---------------------------------------------------------------------------
+
+CLOSED_NATION = [
+    {
+        "label": "ClosedNation",
+        "targets": [{"kind": "targetClass", "value": EX + "Nation"}],
+        "closed": True,
+        "ignored": [RDF_TYPE, EX + "region"],
+        "constraints": [{"path": EX + "name", "minCount": 1}],
+    },
+]
+
+
+@query("kg_closed_nation", oracle=f"""
+WITH {KG_TRIPLES_SQL.strip()},
+focus AS (
+  SELECT DISTINCT subj AS node FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Nation'
+),
+agg AS (
+  SELECT f.node,
+    COUNT(*) FILTER (WHERE t.pred = 'http://example.org/name') AS n_name,
+    COUNT(*) FILTER (WHERE t.pred IS NOT NULL AND t.pred NOT IN (
+      'http://example.org/name',
+      'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      'http://example.org/region')) AS n_closed_bad
+  FROM focus f
+  LEFT JOIN kg_triples t ON t.subj = f.node
+  GROUP BY f.node
+)
+SELECT node, 'ClosedNation' AS shape,
+       (n_name >= 1 AND n_closed_bad = 0) AS conforms
+FROM agg
+""")
+def kg_closed_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, CLOSED_NATION)
+    return res.conformance
+
+
+# ---------------------------------------------------------------------------
+# 5. inverse path: customers with ≥1 order via ^ex:customer
+# ---------------------------------------------------------------------------
+
+ACTIVE_CUSTOMER = [
+    {
+        "label": "ActiveCustomer",
+        "targets": [{"kind": "targetClass", "value": EX + "Customer"}],
+        "constraints": [
+            {"path": {"kind": "inverse", "iri": EX + "customer"}, "minCount": 1},
+        ],
+    },
+]
+
+
+@query("kg_inverse_path", oracle=f"""
+WITH {KG_TRIPLES_SQL.strip()},
+focus AS (
+  SELECT DISTINCT subj AS node FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Customer'
+)
+SELECT f.node, 'ActiveCustomer' AS shape,
+       (COUNT(t.subj) >= 1) AS conforms
+FROM focus f
+LEFT JOIN kg_triples t ON t.obj_value = f.node
+  AND t.pred = 'http://example.org/customer'
+GROUP BY f.node
+""")
+def kg_inverse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, ACTIVE_CUSTOMER)
+    return res.conformance
+
+
+# ---------------------------------------------------------------------------
+# 6. sequence path: order reaches a Region via customer/nation/region
+# ---------------------------------------------------------------------------
+
+ORDER_REGION = [
+    {
+        "label": "OrderRegion",
+        "targets": [{"kind": "targetClass", "value": EX + "Order"}],
+        "constraints": [
+            {"path": {"kind": "sequence",
+                      "steps": [EX + "customer", EX + "nation", EX + "region"]},
+             "minCount": 1,
+             "node": {"kind": "class", "iri": EX + "Region"}},
+        ],
+    },
+]
+
+
+@query("kg_sequence_path", oracle=f"""
+WITH {KG_TRIPLES_SQL.strip()},
+focus AS (
+  SELECT DISTINCT subj AS node FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Order'
+),
+regions AS (
+  SELECT DISTINCT subj FROM kg_triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj_value = 'http://example.org/Region'
+),
+vals AS (
+  SELECT DISTINCT f.node, t3.obj_value AS v
+  FROM focus f
+  JOIN kg_triples t1 ON t1.subj = f.node AND t1.pred = 'http://example.org/customer'
+  JOIN kg_triples t2 ON t2.subj = t1.obj_value AND t2.pred = 'http://example.org/nation'
+  JOIN kg_triples t3 ON t3.subj = t2.obj_value AND t3.pred = 'http://example.org/region'
+),
+agg AS (
+  SELECT f.node,
+    COUNT(v.v) AS n,
+    COUNT(*) FILTER (WHERE v.v IS NOT NULL
+                     AND v.v NOT IN (SELECT subj FROM regions)) AS bad
+  FROM focus f LEFT JOIN vals v ON v.node = f.node
+  GROUP BY f.node
+)
+SELECT node, 'OrderRegion' AS shape, (n >= 1 AND bad = 0) AS conforms
+FROM agg
+""")
+def kg_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _validate(spark, sf_dir, ORDER_REGION)
+    return res.conformance

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing stands in for a multi-executor cluster; every config
+here is chosen to also be the right default at cluster scale:
+AQE on (skew joins over hot canonical entities — SURVEY.md §4.2),
+shuffle partitions sized to parallelism, Arrow enabled for the
+pandas-UDF extraction stage, UTC timezone pinned for oracle parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "shaclex_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    parallelism: local core count; defaults to $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions: defaults to max(parallelism, 32) locally; on a
+    real cluster this is instead sized to total executor cores (AQE
+    coalesces the excess at runtime).
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # Broadcast threshold: shape dictionaries / focus dims are small;
+        # let Catalyst broadcast up to 64 MB before falling back to SMJ.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,154 @@
+"""Demo knowledge graph over the driver-provided TPC-H-ish test tables.
+
+Maps customer/nation/region/orders rows into the triples relation with
+a deterministic IRI scheme, so every validation operator can be
+oracle-checked against hand-written ANSI SQL in DuckDB (the driver's
+correctness gate). The SAME mapping is mirrored in SQL inside
+__spark_entry__.oracle_sql via the `kg_triples` CTE.
+
+IRI scheme:
+    customer → http://example.org/c/<custkey>
+    nation   → http://example.org/n/<nationkey>
+    region   → http://example.org/r/<regionkey>
+    order    → http://example.org/o/<orderkey>
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def _t(subj, pred, obj_kind, obj_value, obj_dt=None):
+    return [
+        subj.alias("subj"), F.lit(pred).alias("pred"),
+        F.lit(obj_kind).alias("obj_kind"), obj_value.alias("obj_value"),
+        (F.lit(obj_dt) if obj_dt else F.lit(None)).cast("string").alias("obj_dt"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ]
+
+
+def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the demo KG triples DF. Customers with negative acctbal
+    and customers without orders exist in the data — these become the
+    natural constraint violations the oracle queries check."""
+    customer = read(spark, sf_dir, "customer")
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region")
+    orders = read(spark, sf_dir, "orders")
+
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey"))
+    n_iri_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey"))
+    n_iri = F.concat(F.lit(EX + "n/"), F.col("n_nationkey"))
+    r_iri_n = F.concat(F.lit(EX + "r/"), F.col("n_regionkey"))
+    r_iri = F.concat(F.lit(EX + "r/"), F.col("r_regionkey"))
+    o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey"))
+    oc_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey"))
+
+    pieces = [
+        customer.select(*_t(c_iri, RDF_TYPE, "iri", F.lit(EX + "Customer"))),
+        customer.select(*_t(c_iri, EX + "name", "literal", F.col("c_name"), XSD_STRING)),
+        customer.select(*_t(c_iri, EX + "acctbal", "literal",
+                            F.format_string("%.2f", F.col("c_acctbal")), XSD_DECIMAL)),
+        customer.select(*_t(c_iri, EX + "mktsegment", "literal",
+                            F.col("c_mktsegment"), XSD_STRING)),
+        customer.select(*_t(c_iri, EX + "nation", "iri", n_iri_c)),
+        nation.select(*_t(n_iri, RDF_TYPE, "iri", F.lit(EX + "Nation"))),
+        nation.select(*_t(n_iri, EX + "name", "literal", F.col("n_name"), XSD_STRING)),
+        nation.select(*_t(n_iri, EX + "region", "iri", r_iri_n)),
+        region.select(*_t(r_iri, RDF_TYPE, "iri", F.lit(EX + "Region"))),
+        region.select(*_t(r_iri, EX + "name", "literal", F.col("r_name"), XSD_STRING)),
+        orders.select(*_t(o_iri, RDF_TYPE, "iri", F.lit(EX + "Order"))),
+        orders.select(*_t(o_iri, EX + "customer", "iri", oc_iri)),
+        orders.select(*_t(o_iri, EX + "totalprice", "literal",
+                          F.format_string("%.2f", F.col("o_totalprice")), XSD_DECIMAL)),
+        orders.select(*_t(o_iri, EX + "status", "literal",
+                          F.col("o_orderstatus"), XSD_STRING)),
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# The same mapping as one SQL CTE for DuckDB oracles. format_number in
+# Spark = thousands-separated; we need plain decimals — use a canonical
+# printf-style rendering instead on both sides.
+KG_TRIPLES_SQL = """
+kg_triples AS (
+    SELECT 'http://example.org/c/' || c_custkey AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'iri' AS obj_kind, 'http://example.org/Customer' AS obj_value,
+           CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang
+    FROM customer
+    UNION ALL
+    SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/name',
+           'literal', c_name, 'http://www.w3.org/2001/XMLSchema#string', NULL
+    FROM customer
+    UNION ALL
+    SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/acctbal',
+           'literal', printf('%.2f', c_acctbal),
+           'http://www.w3.org/2001/XMLSchema#decimal', NULL
+    FROM customer
+    UNION ALL
+    SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/mktsegment',
+           'literal', c_mktsegment, 'http://www.w3.org/2001/XMLSchema#string', NULL
+    FROM customer
+    UNION ALL
+    SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/nation',
+           'iri', 'http://example.org/n/' || c_nationkey, NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'http://example.org/n/' || n_nationkey,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'iri', 'http://example.org/Nation', NULL, NULL
+    FROM nation
+    UNION ALL
+    SELECT 'http://example.org/n/' || n_nationkey, 'http://example.org/name',
+           'literal', n_name, 'http://www.w3.org/2001/XMLSchema#string', NULL
+    FROM nation
+    UNION ALL
+    SELECT 'http://example.org/n/' || n_nationkey, 'http://example.org/region',
+           'iri', 'http://example.org/r/' || n_regionkey, NULL, NULL
+    FROM nation
+    UNION ALL
+    SELECT 'http://example.org/r/' || r_regionkey,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'iri', 'http://example.org/Region', NULL, NULL
+    FROM region
+    UNION ALL
+    SELECT 'http://example.org/r/' || r_regionkey, 'http://example.org/name',
+           'literal', r_name, 'http://www.w3.org/2001/XMLSchema#string', NULL
+    FROM region
+    UNION ALL
+    SELECT 'http://example.org/o/' || o_orderkey,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'iri', 'http://example.org/Order', NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'http://example.org/o/' || o_orderkey, 'http://example.org/customer',
+           'iri', 'http://example.org/c/' || o_custkey, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'http://example.org/o/' || o_orderkey, 'http://example.org/totalprice',
+           'literal', printf('%.2f', o_totalprice),
+           'http://www.w3.org/2001/XMLSchema#decimal', NULL
+    FROM orders
+    UNION ALL
+    SELECT 'http://example.org/o/' || o_orderkey, 'http://example.org/status',
+           'literal', o_orderstatus, 'http://www.w3.org/2001/XMLSchema#string', NULL
+    FROM orders
+)
+"""

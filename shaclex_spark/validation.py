@@ -1,0 +1,811 @@
+"""The constraint compiler + validator: shapes × triples → conformance.
+
+Set-at-a-time re-expression of shaclex's node-at-a-time validators
+(/root/reference/modules/slang/src/main/scala/es/weso/slang/Validation.scala,
+ValidateND.scala). The plan per shape is the datalog program shaclex's
+own ASP encoding spells out (SLang2Clingo.scala:148-181):
+
+    arcWithShape(X,P,S,V) :- arc(X,P,V), hasShape(V,S).     -- join
+    countPropShape(X,P,S,C) :- #count{V: arcWithShape(...)}  -- groupBy
+    hasShape(X, qa(PP,S,Min,Max)) :- Min <= C <= Max.        -- filter
+
+Physical shape (SURVEY.md §4.3): per shape, ONE left join
+candidates ⋈ triples on subj (left so zero-arc nodes still count 0 —
+SLang2Clingo.scala:164-168 makes the 0-case explicit), then ONE
+groupBy(candidate) with fused conditional aggregates for every
+constraint sharing the simple-predicate path family (the FlatShape
+constraint-fusion idea, FlatShapeConversion.scala:27-87). Complex
+paths / sibling-path joins (equals, lessThan) run as separate
+sub-aggregations joined back on the candidate key.
+
+Recursion: stratified SCC order; cyclic strata run a greatest-fixpoint
+loop starting from all-conforming — the co-inductive Unknown-counts-
+as-ok semantics of ValidateND (ShapesMap.scala:19-23). Negated cycles
+are rejected at schema parse (shapes.SchemaDict.check_well_formed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .model import (
+    NODE_KINDS,
+    NUMERIC_DATATYPES,
+    RDF_TYPE,
+    TEMPORAL_DATATYPES,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+from .paths import path_pairs
+from .shapes import NodeExpr, PropertyConstraint, SchemaDict, Shape, ValueSpec
+
+MAX_FIXPOINT_ROUNDS = 50
+
+KEY = "node_key"
+FCOLS = ["f_kind", "f_value", "f_dt", "f_lang"]
+
+
+def node_key_col(kind: Column, value: Column, dt: Column, lang: Column) -> Column:
+    """Single string identity key for an RDF term (null-safe on dt/lang)."""
+    return F.concat_ws("", kind, value, F.coalesce(dt, F.lit("")),
+                       F.coalesce(lang, F.lit("")))
+
+
+def focus_to_candidates(focus: DataFrame) -> DataFrame:
+    """focus(node, shape, ...) → per-shape candidate rows with term columns.
+    Focus node ids are iri/bnode ('_:' prefix convention)."""
+    kind = F.when(F.col("node").startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri"))
+    return focus.select(
+        F.col("shape"),
+        kind.alias("f_kind"),
+        F.col("node").alias("f_value"),
+        F.lit(None).cast("string").alias("f_dt"),
+        F.lit(None).cast("string").alias("f_lang"),
+    ).withColumn(KEY, node_key_col(F.col("f_kind"), F.col("f_value"),
+                                   F.col("f_dt"), F.col("f_lang"))).distinct()
+
+
+# --------------------------------------------------------------------------
+# Value-term accessors: evaluate a NodeExpr against some column family.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TermCols:
+    """Column accessors for the term a NodeExpr is applied to, plus the
+    join-backed boolean columns (shape refs, class membership)."""
+
+    kind: Column
+    value: Column
+    dt: Column
+    lang: Column
+    ref_cols: dict[str, Column]
+    cls_cols: dict[str, Column]
+
+
+def _well_formed(dt_iri: str, value: Column) -> Column:
+    """Literal well-formedness vs datatype: ill-formed ⇒ violation, not
+    skip (SURVEY.md §7.3 'typed literal comparison'; exercised by
+    shacl/tests/core/node/datatype-001.ttl ill-typed literal)."""
+    if dt_iri == XSD_INTEGER or dt_iri.endswith(("#long", "#int", "#short", "#byte")):
+        return value.rlike(r"^[+-]?\d+$")
+    if dt_iri in NUMERIC_DATATYPES:
+        return value.try_cast("double").isNotNull()
+    if dt_iri == XSD_BOOLEAN:
+        return value.isin("true", "false", "0", "1")
+    if dt_iri == XSD_DATETIME:
+        return value.try_cast("timestamp").isNotNull()
+    if dt_iri == XSD_DATE:
+        return value.rlike(r"^-?\d{4}-\d{2}-\d{2}")
+    return F.lit(True)
+
+
+def _numeric_value(tc: TermCols) -> Column:
+    """Typed comparable rendering of a literal for range constraints."""
+    return F.when(tc.dt.isin(list(TEMPORAL_DATATYPES)),
+                  tc.value.try_cast("timestamp").cast("double")
+                  ).otherwise(tc.value.try_cast("double"))
+
+
+def _range_check(e: NodeExpr, tc: TermCols) -> Column:
+    lit_raw = e.value
+    try:
+        bound = F.lit(float(lit_raw))
+        val = _numeric_value(tc)
+    except ValueError:
+        # temporal bound
+        bound = F.lit(lit_raw).cast("timestamp").cast("double")
+        val = tc.value.try_cast("timestamp").cast("double")
+    cmp = {
+        "minInclusive": val >= bound,
+        "maxInclusive": val <= bound,
+        "minExclusive": val > bound,
+        "maxExclusive": val < bound,
+    }[e.kind]
+    # non-literal or non-comparable value ⇒ violation (never null)
+    return (tc.kind == "literal") & val.isNotNull() & cmp
+
+
+def _value_match(v: ValueSpec, tc: TermCols) -> Column:
+    if v.kind == "iri":
+        return (tc.kind == "iri") & (tc.value == v.value)
+    if v.kind == "bnode":
+        return (tc.kind == "bnode") & (tc.value == v.value)
+    dt = v.dt or (None if v.lang else XSD_STRING)
+    cond = (tc.kind == "literal") & (tc.value == v.value)
+    if v.lang:
+        cond = cond & (F.lower(tc.lang) == v.lang.lower())
+    elif dt:
+        cond = cond & (tc.dt == dt)
+    return cond
+
+
+def _lang_in(langs: tuple[str, ...], lang: Column) -> Column:
+    low = F.lower(lang)
+    conds = [(low == l.lower()) | low.startswith(l.lower() + "-") for l in langs]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return lang.isNotNull() & out
+
+
+def compile_expr(e: NodeExpr, tc: TermCols) -> Column:
+    """NodeExpr → boolean Column (never null: every branch is
+    null-coalesced so 4-valued gaps can't leak into aggregates)."""
+    k = e.kind
+    if k == "true":
+        return F.lit(True)
+    if k == "false":
+        return F.lit(False)
+    if k == "datatype":
+        return (tc.kind == "literal") & (tc.dt == e.iri) & _well_formed(e.iri, tc.value)
+    if k == "nodeKind":
+        return tc.kind.isin(list(NODE_KINDS[e.enum]))
+    if k == "in":
+        out = _value_match(e.values[0], tc)
+        for v in e.values[1:]:
+            out = out | _value_match(v, tc)
+        return out
+    if k == "hasValue":  # node-position semantics: the term IS the value
+        return _value_match(e.values[0], tc)
+    if k == "pattern":
+        pat = e.pattern
+        if e.flags and "i" in e.flags:
+            pat = "(?i)" + pat
+        return (tc.kind != "bnode") & tc.value.rlike(pat)
+    if k == "minLength":
+        return (tc.kind != "bnode") & (F.length(tc.value) >= e.num)
+    if k == "maxLength":
+        return (tc.kind != "bnode") & (F.length(tc.value) <= e.num)
+    if k in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
+        return _range_check(e, tc)
+    if k == "languageIn":
+        return _lang_in(e.langs, tc.lang)
+    if k == "class":
+        return F.coalesce(tc.cls_cols[e.iri], F.lit(False))
+    if k == "ref":
+        return F.coalesce(tc.ref_cols[e.label], F.lit(False))
+    if k == "not":
+        return ~compile_expr(e.exprs[0], tc)
+    if k == "and":
+        out = compile_expr(e.exprs[0], tc)
+        for sub in e.exprs[1:]:
+            out = out & compile_expr(sub, tc)
+        return out
+    if k == "or":
+        out = compile_expr(e.exprs[0], tc)
+        for sub in e.exprs[1:]:
+            out = out | compile_expr(sub, tc)
+        return out
+    if k == "xone":
+        total = F.lit(0)
+        for sub in e.exprs:
+            total = total + compile_expr(sub, tc).cast("int")
+        return total == 1
+    raise ValueError(f"cannot compile node expr kind {k}")
+
+
+COMPONENT_NAMES = {
+    "datatype": "DatatypeConstraintComponent",
+    "nodeKind": "NodeKindConstraintComponent",
+    "in": "InConstraintComponent",
+    "hasValue": "HasValueConstraintComponent",
+    "pattern": "PatternConstraintComponent",
+    "minLength": "MinLengthConstraintComponent",
+    "maxLength": "MaxLengthConstraintComponent",
+    "minInclusive": "MinInclusiveConstraintComponent",
+    "maxInclusive": "MaxInclusiveConstraintComponent",
+    "minExclusive": "MinExclusiveConstraintComponent",
+    "maxExclusive": "MaxExclusiveConstraintComponent",
+    "languageIn": "LanguageInConstraintComponent",
+    "class": "ClassConstraintComponent",
+    "ref": "NodeConstraintComponent",
+    "not": "NotConstraintComponent",
+    "and": "AndConstraintComponent",
+    "or": "OrConstraintComponent",
+    "xone": "XoneConstraintComponent",
+    "true": "TrueConstraintComponent",
+    "false": "FalseConstraintComponent",
+}
+
+
+def _top_conjuncts(e: NodeExpr) -> list[NodeExpr]:
+    """Flatten top-level ANDs so each conjunct reports independently."""
+    if e.kind == "and":
+        out: list[NodeExpr] = []
+        for sub in e.exprs:
+            out.extend(_top_conjuncts(sub))
+        return out
+    return [e]
+
+
+def _collect_refs(e: NodeExpr) -> set[str]:
+    return {lbl for lbl, _ in e.refs()}
+
+
+def _collect_classes(e: NodeExpr) -> set[str]:
+    return e.classes()
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationResult:
+    conformance: DataFrame  # node, shape, conforms
+    report: DataFrame       # REPORT_SCHEMA
+    conforms: bool | None = None
+
+    def finish(self) -> "ValidationResult":
+        self.conforms = self.report.limit(1).isEmpty()
+        return self
+
+
+class ValidationEngine:
+    """Validate a triples DataFrame against a SchemaDict.
+
+    Usage::
+        engine = ValidationEngine(spark, schema, triples)
+        result = engine.validate(focus_df)   # focus: (node, shape)
+    """
+
+    def __init__(self, spark: SparkSession, schema: SchemaDict, triples: DataFrame):
+        self.spark = spark
+        self.schema = schema
+        self.triples = triples
+        # class-membership relation used by every sh:class / targetClass:
+        # computed once, reused across shapes.
+        self._type_arcs = (
+            triples.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_kind") == "iri"))
+            .select(F.col("subj").alias("inst"), F.col("obj_value").alias("cls"))
+            .distinct()
+        )
+        self._persisted: list[DataFrame] = []
+
+    # -- candidate propagation --------------------------------------------
+
+    def _ref_edges(self) -> list[tuple[str, str, PropertyConstraint | None]]:
+        """(shape A, referenced shape B, via-property-or-None)."""
+        edges: list[tuple[str, str, PropertyConstraint | None]] = []
+        for lbl, sh in self.schema.shapes.items():
+            for ne in sh.node_constraints:
+                for ref in _collect_refs(ne):
+                    edges.append((lbl, ref, None))
+            for pc in sh.properties:
+                for ref in _collect_refs(pc.node):
+                    edges.append((lbl, ref, pc))
+        return edges
+
+    def _propagate_candidates(self, focus: DataFrame) -> dict[str, DataFrame]:
+        """cand[S]: every term whose conformance to S is needed.
+        Semi-naive: each round expands only newly-added candidates —
+        the relevant-subgraph reduction (SLang2Clingo.scala:220-228)."""
+        cands: dict[str, DataFrame] = {}
+        base = focus_to_candidates(focus)
+        for lbl in self.schema.shapes:
+            df = base.filter(F.col("shape") == lbl).drop("shape")
+            cands[lbl] = df.localCheckpoint(eager=True)
+        frontier = {lbl: cands[lbl] for lbl in self.schema.shapes}
+        edges = self._ref_edges()
+        for _ in range(MAX_FIXPOINT_ROUNDS):
+            new_frontier: dict[str, list[DataFrame]] = {}
+            for a, b, pc in edges:
+                fa = frontier.get(a)
+                if fa is None or fa.isEmpty():
+                    continue
+                if pc is None:
+                    derived = fa
+                else:
+                    srcs = fa.filter(F.col("f_kind") != "literal") \
+                             .select(F.col("f_value").alias("n"))
+                    pairs = path_pairs(self.triples, pc.path, srcs)
+                    derived = pairs.select(
+                        F.col("v_kind").alias("f_kind"),
+                        F.col("v_value").alias("f_value"),
+                        F.col("v_dt").alias("f_dt"),
+                        F.col("v_lang").alias("f_lang"),
+                    ).withColumn(KEY, node_key_col(
+                        F.col("f_kind"), F.col("f_value"),
+                        F.col("f_dt"), F.col("f_lang")))
+                derived = derived.select(KEY, *FCOLS)
+                new = derived.join(cands[b].select(KEY), on=KEY, how="left_anti")
+                new_frontier.setdefault(b, []).append(new)
+            frontier = {}
+            for b, parts in new_frontier.items():
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p)
+                merged = merged.dropDuplicates([KEY]).localCheckpoint(eager=True)
+                if not merged.isEmpty():
+                    cands[b] = cands[b].unionByName(merged).localCheckpoint(eager=True)
+                    frontier[b] = merged
+            if not frontier:
+                break
+        return cands
+
+    # -- shape evaluation ---------------------------------------------------
+
+    def _join_term_bools(self, df: DataFrame, prefix: str,
+                         refs: set[str], classes: set[str],
+                         conf: dict[str, DataFrame]) -> tuple[DataFrame, dict, dict]:
+        """Left-join shape-conformance and class-membership booleans for
+        the term columns ``{prefix}kind/value/dt/lang``; returns enriched
+        df + column maps."""
+        ref_cols: dict[str, Column] = {}
+        cls_cols: dict[str, Column] = {}
+        if refs or classes:
+            key = node_key_col(F.col(prefix + "kind"), F.col(prefix + "value"),
+                               F.col(prefix + "dt"), F.col(prefix + "lang"))
+            df = df.withColumn("__tkey", key)
+        for i, lbl in enumerate(sorted(refs)):
+            cname = f"__ref_{i}"
+            rhs = conf[lbl].select(F.col(KEY).alias("__tkey"),
+                                   F.col("conforms").alias(cname))
+            df = df.join(rhs, on="__tkey", how="left")
+            ref_cols[lbl] = F.col(cname)
+        if classes:
+            df = df.withColumn("__jv", F.col(prefix + "value"))
+        for i, cls in enumerate(sorted(classes)):
+            cname = f"__cls_{i}"
+            rhs = (self._type_arcs.filter(F.col("cls") == cls)
+                   .select(F.col("inst").alias("__jv"), F.lit(True).alias(cname)))
+            df = df.join(rhs, on="__jv", how="left")
+            cls_cols[cls] = F.col(cname)
+        return df, ref_cols, cls_cols
+
+    def _term_cols(self, prefix: str, ref_cols: dict, cls_cols: dict) -> TermCols:
+        return TermCols(
+            kind=F.col(prefix + "kind"), value=F.col(prefix + "value"),
+            dt=F.col(prefix + "dt"), lang=F.col(prefix + "lang"),
+            ref_cols=ref_cols, cls_cols=cls_cols,
+        )
+
+    def _evaluate_shape(self, shape: Shape, cand: DataFrame,
+                        conf: dict[str, DataFrame]
+                        ) -> tuple[DataFrame, list[DataFrame]]:
+        """Returns (conformance DF keyed by node_key, [report piece DFs]).
+
+        conformance columns: node_key, f_* , conforms.
+        """
+        reports: list[DataFrame] = []
+        sev = F.lit(shape.severity)
+        shp = F.lit(shape.label)
+        msg = F.lit(shape.message).cast("string")
+
+        if shape.deactivated or (not shape.node_constraints and not shape.properties
+                                 and not shape.closed):
+            return cand.withColumn("conforms", F.lit(True)), reports
+
+        ok_flags: list[tuple[str, DataFrame]] = []  # (flag column name, keyed DF)
+        agg_df: DataFrame | None = None  # fused simple-pred aggregate
+
+        # ---- 1. focus-level node constraints -----------------------------
+        self_ok: Column | None = None
+        if shape.node_constraints:
+            refs: set[str] = set()
+            classes: set[str] = set()
+            for ne in shape.node_constraints:
+                refs |= _collect_refs(ne)
+                classes |= _collect_classes(ne)
+            df, ref_cols, cls_cols = self._join_term_bools(
+                cand, "f_", refs, classes, conf)
+            tc = self._term_cols("f_", ref_cols, cls_cols)
+            conjuncts: list[tuple[NodeExpr, Column]] = []
+            for ne in shape.node_constraints:
+                for cj in _top_conjuncts(ne):
+                    conjuncts.append((cj, compile_expr(cj, tc)))
+            ok_all = conjuncts[0][1]
+            for _, c in conjuncts[1:]:
+                ok_all = ok_all & c
+            node_conf = df.select(KEY, *FCOLS, ok_all.alias("__self_ok"))
+            # report rows per failing conjunct
+            for cj, col in conjuncts:
+                comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
+                reports.append(
+                    df.filter(~col).select(
+                        F.col("f_value").alias("focus_node"),
+                        shp.alias("source_shape"),
+                        F.lit(comp).alias("component"),
+                        sev.alias("severity"),
+                        F.col("f_value").alias("value"),
+                        F.lit(None).cast("string").alias("path"),
+                        msg.alias("message"),
+                    )
+                )
+            ok_flags.append(("__self_ok", node_conf.select(KEY, "__self_ok")))
+
+        # ---- 2. property constraints --------------------------------------
+        simple = [pc for pc in shape.properties if pc.path.is_simple_pred]
+        complexp = [pc for pc in shape.properties if not pc.path.is_simple_pred]
+
+        if simple or shape.closed:
+            agg_df = self._eval_simple_props(shape, cand, conf, simple, reports)
+            ok_flags.append(("__props_ok", agg_df.select(KEY, "__props_ok")))
+
+        for i, pc in enumerate(complexp):
+            flag = f"__cpath_{i}_ok"
+            dfp = self._eval_one_property(shape, cand, conf, pc, flag, reports)
+            ok_flags.append((flag, dfp))
+
+        # pairwise sibling constraints
+        for i, pc in enumerate(shape.properties):
+            if pc.equals or pc.disjoint or pc.less_than or pc.less_than_or_equals:
+                flag = f"__pair_{i}_ok"
+                dfp = self._eval_pairwise(shape, cand, pc, flag, reports)
+                ok_flags.append((flag, dfp))
+
+        # ---- 3. combine -----------------------------------------------------
+        out = cand
+        final_ok = F.lit(True)
+        for flag, dfk in ok_flags:
+            out = out.join(dfk, on=KEY, how="left")
+            final_ok = final_ok & F.coalesce(F.col(flag), F.lit(True))
+        out = out.select(KEY, *FCOLS, final_ok.alias("conforms"))
+        return out, reports
+
+    # -- fused simple-predicate aggregation --------------------------------
+
+    def _eval_simple_props(self, shape: Shape, cand: DataFrame,
+                           conf: dict[str, DataFrame],
+                           props: list[PropertyConstraint],
+                           reports: list[DataFrame]) -> DataFrame:
+        """ONE left join cand ⋈ T(subj) + ONE groupBy with conditional
+        aggregates for every simple-pred constraint + CLOSED residue.
+        This is the §4.3 physical plan."""
+        t = self.triples
+        preds = {pc.path.iri for pc in props}
+        if not shape.closed:
+            # predicate pushdown: only arcs we actually inspect
+            t = t.filter(F.col("pred").isin(list(preds))) if preds else t.limit(0)
+        ts = t.select("subj", "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang")
+        arcs = cand.join(ts, on=cand["f_value"] == ts["subj"], how="left").drop("subj")
+
+        refs: set[str] = set()
+        classes: set[str] = set()
+        for pc in props:
+            refs |= _collect_refs(pc.node)
+            classes |= _collect_classes(pc.node)
+        arcs, ref_cols, cls_cols = self._join_term_bools(
+            arcs, "obj_", refs, classes, conf)
+        tc = self._term_cols("obj_", ref_cols, cls_cols)
+
+        aggs: list[Column] = []
+        checks: list[tuple[PropertyConstraint, dict[str, str]]] = []
+        report_value_filters: list[tuple[PropertyConstraint, NodeExpr, Column]] = []
+
+        for i, pc in enumerate(props):
+            on_path = F.col("pred") == pc.path.iri
+            conjs = _top_conjuncts(pc.node)
+            per_value = [c for c in conjs if c.kind != "hasValue"]
+            existential = [c for c in conjs if c.kind == "hasValue"]
+            if per_value:
+                v_ok = compile_expr(per_value[0], tc)
+                for c in per_value[1:]:
+                    v_ok = v_ok & compile_expr(c, tc)
+            else:
+                v_ok = F.lit(True)
+            names = {
+                "total": f"__n_{i}", "ok": f"__ok_{i}", "bad": f"__bad_{i}",
+            }
+            aggs.append(F.count(F.when(on_path, F.lit(1))).alias(names["total"]))
+            aggs.append(F.count(F.when(on_path & v_ok, F.lit(1))).alias(names["ok"]))
+            aggs.append(F.count(F.when(on_path & ~v_ok, F.lit(1))).alias(names["bad"]))
+            for j, ex in enumerate(existential):
+                nm = f"__has_{i}_{j}"
+                names[f"has_{j}"] = nm
+                hit = _value_match(ex.values[0], tc)
+                aggs.append(F.count(F.when(on_path & hit, F.lit(1))).alias(nm))
+            if pc.unique_lang:
+                nl, ndl = f"__nlang_{i}", f"__ndlang_{i}"
+                names["nlang"], names["ndlang"] = nl, ndl
+                aggs.append(F.count(F.when(on_path & tc.lang.isNotNull(), F.lit(1))).alias(nl))
+                aggs.append(F.countDistinct(
+                    F.when(on_path & tc.lang.isNotNull(), F.lower(tc.lang))).alias(ndl))
+            checks.append((pc, names))
+            # per-value violation report rows
+            for cj in conjs:
+                if cj.kind == "hasValue":
+                    continue
+                col = compile_expr(cj, tc)
+                report_value_filters.append((pc, cj, on_path & ~col))
+
+        if shape.closed:
+            # allowed = declared property paths + sh:ignoredProperties / EXTRA
+            # (SURVEY.md §2.4 CLOSED: per-subject anti-count)
+            allowed = shape.declared_preds() | set(shape.ignored)
+            off_path = F.col("pred").isNotNull() & ~F.col("pred").isin(list(allowed))
+            aggs.append(F.count(F.when(off_path, F.lit(1))).alias("__n_closed_bad"))
+            reports.append(
+                arcs.filter(off_path).select(
+                    F.col("f_value").alias("focus_node"),
+                    F.lit(shape.label).alias("source_shape"),
+                    F.lit("ClosedConstraintComponent").alias("component"),
+                    F.lit(shape.severity).alias("severity"),
+                    F.col("obj_value").alias("value"),
+                    F.col("pred").alias("path"),
+                    F.lit(shape.message).cast("string").alias("message"),
+                )
+            )
+
+        # per-value violation reports (before aggregation)
+        for pc, cj, flt in report_value_filters:
+            comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
+            reports.append(
+                arcs.filter(flt).select(
+                    F.col("f_value").alias("focus_node"),
+                    F.lit(shape.label).alias("source_shape"),
+                    F.lit(comp).alias("component"),
+                    F.lit(pc.severity).alias("severity"),
+                    F.col("obj_value").alias("value"),
+                    F.lit(pc.path.iri).alias("path"),
+                    F.lit(pc.message or shape.message).cast("string").alias("message"),
+                )
+            )
+
+        grouped = arcs.groupBy(KEY, "f_value").agg(*aggs)
+
+        ok = F.lit(True)
+        if shape.closed:
+            ok = ok & (F.col("__n_closed_bad") == 0)
+        for pc, names in checks:
+            card_base = F.col(names["ok"]) if (pc.qualified or pc.exclusive) \
+                else F.col(names["total"])
+            c_ok = card_base >= pc.min_count
+            if pc.max_count is not None:
+                c_ok = c_ok & (card_base <= pc.max_count)
+            if not pc.qualified:
+                c_ok = c_ok & (F.col(names["bad"]) == 0)
+            for j in range(len([k for k in names if k.startswith("has_")])):
+                c_ok = c_ok & (F.col(names[f"has_{j}"]) >= 1)
+            if pc.unique_lang:
+                c_ok = c_ok & (F.col(names["nlang"]) == F.col(names["ndlang"]))
+            ok = ok & c_ok
+            # cardinality / hasValue / uniqueLang report rows (per focus)
+            self._card_reports(reports, grouped, shape, pc, names)
+        return grouped.select(KEY, ok.alias("__props_ok"))
+
+    def _card_reports(self, reports: list[DataFrame], grouped: DataFrame,
+                      shape: Shape, pc: PropertyConstraint, names: dict) -> None:
+        base_cols = lambda comp, flt: grouped.filter(flt).select(  # noqa: E731
+            F.col("f_value").alias("focus_node"),
+            F.lit(shape.label).alias("source_shape"),
+            F.lit(comp).alias("component"),
+            F.lit(pc.severity).alias("severity"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(pc.path.describe()).alias("path"),
+            F.lit(pc.message or shape.message).cast("string").alias("message"),
+        )
+        card = F.col(names["ok"]) if (pc.qualified or pc.exclusive) else F.col(names["total"])
+        if pc.min_count > 0:
+            comp = ("QualifiedMinCountConstraintComponent" if pc.qualified
+                    else "MinCountConstraintComponent")
+            reports.append(base_cols(comp, card < pc.min_count))
+        if pc.max_count is not None:
+            comp = ("QualifiedMaxCountConstraintComponent" if pc.qualified
+                    else "MaxCountConstraintComponent")
+            reports.append(base_cols(comp, card > pc.max_count))
+        for j in range(len([k for k in names if k.startswith("has_")])):
+            reports.append(base_cols("HasValueConstraintComponent",
+                                     F.col(names[f"has_{j}"]) < 1))
+        if pc.unique_lang:
+            reports.append(base_cols("UniqueLangConstraintComponent",
+                                     F.col(names["nlang"]) != F.col(names["ndlang"])))
+
+    # -- complex-path property ------------------------------------------------
+
+    def _eval_one_property(self, shape: Shape, cand: DataFrame,
+                           conf: dict[str, DataFrame], pc: PropertyConstraint,
+                           flag: str, reports: list[DataFrame]) -> DataFrame:
+        srcs = cand.filter(F.col("f_kind") != "literal") \
+                   .select(F.col("f_value").alias("n"))
+        pairs = path_pairs(self.triples, pc.path, srcs)
+        refs = _collect_refs(pc.node)
+        classes = _collect_classes(pc.node)
+        pairs, ref_cols, cls_cols = self._join_term_bools(
+            pairs, "v_", refs, classes, conf)
+        tc = self._term_cols("v_", ref_cols, cls_cols)
+        conjs = _top_conjuncts(pc.node)
+        per_value = [c for c in conjs if c.kind != "hasValue"]
+        existential = [c for c in conjs if c.kind == "hasValue"]
+        v_ok = F.lit(True)
+        for c in per_value:
+            v_ok = v_ok & compile_expr(c, tc)
+        for cj in per_value:
+            if cj.kind == "true":
+                continue
+            col = compile_expr(cj, tc)
+            comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
+            reports.append(pairs.filter(~col).select(
+                F.col("src").alias("focus_node"),
+                F.lit(shape.label).alias("source_shape"),
+                F.lit(comp).alias("component"),
+                F.lit(pc.severity).alias("severity"),
+                F.col("v_value").alias("value"),
+                F.lit(pc.path.describe()).alias("path"),
+                F.lit(pc.message or shape.message).cast("string").alias("message"),
+            ))
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(v_ok, F.lit(1))).alias("__ok_n"),
+            F.count(F.when(~v_ok, F.lit(1))).alias("__bad_n"),
+        ]
+        for j, ex in enumerate(existential):
+            aggs.append(F.count(F.when(_value_match(ex.values[0], tc), F.lit(1)))
+                        .alias(f"__has_{j}"))
+        g = pairs.groupBy("src").agg(*aggs)
+        # LEFT join from candidates so zero-value nodes count 0
+        joined = cand.join(g, on=cand["f_value"] == g["src"], how="left").drop("src")
+        card = F.coalesce(
+            F.col("__ok_n") if (pc.qualified or pc.exclusive) else F.col("__n"),
+            F.lit(0))
+        ok = card >= pc.min_count
+        if pc.max_count is not None:
+            ok = ok & (card <= pc.max_count)
+        if not pc.qualified:
+            ok = ok & (F.coalesce(F.col("__bad_n"), F.lit(0)) == 0)
+        for j in range(len(existential)):
+            ok = ok & (F.coalesce(F.col(f"__has_{j}"), F.lit(0)) >= 1)
+        # cardinality reports
+        names = {"total": "__n", "ok": "__ok_n", "bad": "__bad_n"}
+        grouped_for_reports = joined.select(
+            KEY, "f_value",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+            F.coalesce(F.col("__ok_n"), F.lit(0)).alias("__ok_n"),
+            F.coalesce(F.col("__bad_n"), F.lit(0)).alias("__bad_n"),
+        )
+        self._card_reports(reports, grouped_for_reports, shape, pc, names)
+        return joined.select(KEY, ok.alias(flag))
+
+    # -- pairwise sibling-path constraints ------------------------------------
+
+    def _eval_pairwise(self, shape: Shape, cand: DataFrame,
+                       pc: PropertyConstraint, flag: str,
+                       reports: list[DataFrame]) -> DataFrame:
+        """equals / disjoint / lessThan(-OrEquals) against a sibling
+        predicate: per-focus set joins (SURVEY.md §2.5 rows)."""
+        srcs = cand.filter(F.col("f_kind") != "literal") \
+                   .select(F.col("f_value").alias("n"))
+        a = path_pairs(self.triples, pc.path, srcs).withColumn(
+            "akey", node_key_col(F.col("v_kind"), F.col("v_value"),
+                                 F.col("v_dt"), F.col("v_lang")))
+        sibling = pc.equals or pc.disjoint or pc.less_than or pc.less_than_or_equals
+        b = pred_pairs_for(self.triples, sibling, srcs).withColumn(
+            "bkey", node_key_col(F.col("v_kind"), F.col("v_value"),
+                                 F.col("v_dt"), F.col("v_lang")))
+        if pc.equals:
+            comp_name = "EqualsConstraintComponent"
+            lhs = a.select(F.col("src"), F.col("akey").alias("k"),
+                           F.col("v_value").alias("av"))
+            rhs = b.select(F.col("src"), F.col("bkey").alias("k"),
+                           F.col("v_value").alias("bv"))
+            full = lhs.join(rhs, on=["src", "k"], how="full_outer")
+            viol = full.filter(F.col("av").isNull() | F.col("bv").isNull())
+            viol_vals = viol.select(
+                "src", F.coalesce(F.col("av"), F.col("bv")).alias("value"))
+        elif pc.disjoint:
+            comp_name = "DisjointConstraintComponent"
+            viol_vals = a.select("src", F.col("akey").alias("k"),
+                                 F.col("v_value").alias("value")) \
+                .join(b.select("src", F.col("bkey").alias("k")), on=["src", "k"]) \
+                .select("src", "value")
+        else:
+            comp_name = ("LessThanConstraintComponent" if pc.less_than
+                         else "LessThanOrEqualsConstraintComponent")
+            theta = a.alias("A").join(b.alias("B"), on="src")
+            avc = F.when(F.col("A.v_dt").isin(list(TEMPORAL_DATATYPES)),
+                         F.col("A.v_value").try_cast("timestamp").cast("double")
+                         ).otherwise(F.col("A.v_value").try_cast("double"))
+            bvc = F.when(F.col("B.v_dt").isin(list(TEMPORAL_DATATYPES)),
+                         F.col("B.v_value").try_cast("timestamp").cast("double")
+                         ).otherwise(F.col("B.v_value").try_cast("double"))
+            good = (avc < bvc) if pc.less_than else (avc <= bvc)
+            viol_vals = theta.filter(
+                ~F.coalesce(good, F.lit(False))
+            ).select("src", F.col("A.v_value").alias("value"))
+        reports.append(viol_vals.select(
+            F.col("src").alias("focus_node"),
+            F.lit(shape.label).alias("source_shape"),
+            F.lit(comp_name).alias("component"),
+            F.lit(pc.severity).alias("severity"),
+            F.col("value"),
+            F.lit(pc.path.describe()).alias("path"),
+            F.lit(pc.message or shape.message).cast("string").alias("message"),
+        ))
+        bad_srcs = viol_vals.select("src").distinct().withColumn("__pair_bad", F.lit(True))
+        joined = cand.join(bad_srcs, on=cand["f_value"] == bad_srcs["src"], how="left")
+        return joined.select(KEY, (~F.coalesce(F.col("__pair_bad"), F.lit(False))).alias(flag))
+
+    # -- public entry ---------------------------------------------------------
+
+    def validate(self, focus: DataFrame) -> ValidationResult:
+        cands = self._propagate_candidates(focus)
+        conf: dict[str, DataFrame] = {}
+        all_reports: list[DataFrame] = []
+
+        for scc in self.schema.strata():
+            if not self.schema.is_recursive(scc):
+                lbl = scc[0]
+                c, reps = self._evaluate_shape(self.schema.shapes[lbl], cands[lbl], conf)
+                conf[lbl] = c.localCheckpoint(eager=True)
+                all_reports.extend(reps)
+            else:
+                # greatest fixpoint: start all-conforming (co-inductive
+                # Unknown-as-ok — ShapesMap.scala:19-23), shrink until stable.
+                for lbl in scc:
+                    conf[lbl] = cands[lbl].withColumn("conforms", F.lit(True)) \
+                                          .localCheckpoint(eager=True)
+                prev_counts = {lbl: conf[lbl].filter("conforms").count() for lbl in scc}
+                last_reports: dict[str, list[DataFrame]] = {}
+                for _ in range(MAX_FIXPOINT_ROUNDS):
+                    changed = False
+                    for lbl in scc:
+                        c, reps = self._evaluate_shape(
+                            self.schema.shapes[lbl], cands[lbl], conf)
+                        c = c.localCheckpoint(eager=True)
+                        n = c.filter("conforms").count()
+                        last_reports[lbl] = reps
+                        conf[lbl] = c
+                        if n != prev_counts[lbl]:
+                            prev_counts[lbl] = n
+                            changed = True
+                    if not changed:
+                        break
+                for reps in last_reports.values():
+                    all_reports.extend(reps)
+
+        conformance = None
+        for lbl, c in conf.items():
+            piece = c.select(
+                F.col("f_value").alias("node"),
+                F.lit(lbl).alias("shape"),
+                F.col("conforms"),
+            )
+            conformance = piece if conformance is None else conformance.unionByName(piece)
+
+        if all_reports:
+            report = all_reports[0]
+            for r in all_reports[1:]:
+                report = report.unionByName(r)
+        else:
+            from .model import REPORT_SCHEMA
+            report = self.spark.createDataFrame([], REPORT_SCHEMA)
+        # only report violations for shapes' own focus (not derived candidates)
+        focus_nodes = focus.select(F.col("node").alias("focus_node"),
+                                   F.col("shape").alias("source_shape")).distinct()
+        report = report.join(F.broadcast(focus_nodes),
+                             on=["focus_node", "source_shape"], how="left_semi")
+        focus_pairs = focus.select("node", "shape").distinct()
+        conformance = conformance.join(focus_pairs, on=["node", "shape"], how="left_semi")
+        return ValidationResult(conformance=conformance, report=report)
+
+
+def pred_pairs_for(triples: DataFrame, iri: str, srcs: DataFrame) -> DataFrame:
+    from .paths import pred_pairs
+    return pred_pairs(triples, iri, srcs)
