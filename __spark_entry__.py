@@ -30,7 +30,7 @@ CUSTOMER_SHAPES = [
             {"path": EX + "name", "minCount": 1, "maxCount": 1,
              "node": {"kind": "datatype", "iri": XSD_STRING}},
             {"path": EX + "acctbal", "minCount": 1, "maxCount": 1,
-             "node": {"kind": "and", "exprs": [
+             "node": {"kind": "allOf", "exprs": [
                  {"kind": "datatype", "iri": XSD_DECIMAL},
                  {"kind": "minInclusive", "value": "0"}]}},
             {"path": EX + "nation", "minCount": 1,

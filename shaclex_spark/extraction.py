@@ -39,6 +39,7 @@ RULES: list[tuple[str, str, str]] = [
      EX + "hasSubject", "str"),
     (rf"^(?P<s>{NAME}) is (?P<o>\d+) years old\.$", EX + "age", "int"),
     (rf"^(?P<s>{NAME}) works at (?P<o>org[a-z])\.$", EX + "worksFor", "org"),
+    (r"^(?P<s>Customer#\d+) placed order (?P<o>\d+)\.$", EX + "placed", "order"),
 ]
 _COMPILED = [(re.compile(p), pred, objmode) for p, pred, objmode in RULES]
 
@@ -68,6 +69,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if objmode == "course":
             sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
                 "iri", EX + "course/" + o, None
+        elif objmode == "order":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "iri", EX + "o/" + o, None
         elif objmode == "org":
             sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
                 "iri", EX + "org/" + o, None

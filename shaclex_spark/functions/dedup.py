@@ -29,10 +29,13 @@ def word_shingles(col: Column, k: int = 1) -> Column:
     toks = F.transform(tokens(col), lambda t: F.lower(t))
     if k == 1:
         return F.array_distinct(toks)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    n = F.size(toks) - (k - 1)
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # short docs must produce an empty shingle set instead
+    return F.when(n >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "))),
+    ).otherwise(F.slice(toks, 1, 0))  # typed empty array
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -48,30 +51,53 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_sig(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """Inline minhash signature expression. NOTE: higher-order
+    functions are interpreted (no codegen / subexpression elimination)
+    — fine for small dims like mention strings; for document-scale
+    corpora use minhash_signatures() below (explode + groupBy)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
     )
 
 
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int, shingle_k: int = 1) -> DataFrame:
+    """(i, h0..h{n-1}) minhash signature table via explode + groupBy
+    min-aggregates: whole-stage-codegen'd, map-side partial
+    aggregation, exactly one shuffle on the doc id — the scale path
+    (the inline higher-order-function variant re-evaluates the whole
+    tokenize→shingle tree once per hash per row)."""
+    sh = docs.select(
+        F.col(id_col).alias("i"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("i").agg(*aggs)
+
+
 def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
                    n_bands: int, rows_per_band: int,
                    shingle_k: int = 1) -> DataFrame:
-    """(a, b) candidate pairs sharing ≥1 minhash band bucket."""
-    sig = docs.select(
-        F.col(id_col).alias("i"),
-        minhash_sig(word_shingles(F.col(text_col), shingle_k),
-                    n_bands * rows_per_band).alias("sig"),
-    )
+    """(a, b) candidate pairs sharing ≥1 minhash band bucket.
+
+    Shuffles: one groupBy(id) for signatures, one band-bucket self-join
+    (bounded by bucket sizes, never all-pairs)."""
+    n_hashes = n_bands * rows_per_band
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.col(f"h{b * rows_per_band + r}").cast("string")
+                       for r in range(rows_per_band)]), F.lit(b)).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
     bands = sig.select(
-        "i",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.xxhash64(
-                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1,
-                                         rows_per_band)), b),
-        )).alias("band", "bucket"),
-    )
+        "i", F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("i", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = bands.select("band", "bucket", F.col("i").alias("a"))
     right = bands.select("band", "bucket", F.col("i").alias("b"))
     return (left.join(right, on=["band", "bucket"])
@@ -103,30 +129,47 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over lowercase tokens: bit j of the sketch is the
-    sign of sum over tokens of ±1 according to bit j of xxhash64(token).
-    All JVM-side array algebra."""
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bitsum = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), j).cast("long")) != 0,
-                                        F.lit(1)).otherwise(F.lit(-1))),
-    )
-    return F.aggregate(
-        F.zip_with(bitsum, F.sequence(F.lit(0), F.lit(63)),
-                   lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1), j).cast("long"))
-                                 .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+def simhash_md5_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash with md5-derived token hashes, emitted as a
+    64-char '0'/'1' string — engine-agnostic (md5 exists everywhere) so
+    an exact SQL oracle can reproduce it bit-for-bit.
 
+    Arrow-batched pandas UDF: SimHash is the textbook case where the
+    per-token inner loop doesn't decompose into single JVM expressions
+    cheaply, so it rides the sanctioned slow path (mapInPandas)."""
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
 
-def simhash_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash64(F.col(text_col)).alias("simhash"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .text import TOKEN_RE
+
+    tok_re = _re.compile(TOKEN_RE)
+
+    def simhash_one(text: str) -> str:
+        counts = np.zeros(64, dtype=np.int64)
+        for tok in tok_re.findall(text.lower()):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            bits = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
+            counts += bits * 2 - 1
+        return "".join("1" if c > 0 else "0" for c in counts)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.StringType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "simhash": pdf[text_col].map(simhash_one),
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema=schema)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,

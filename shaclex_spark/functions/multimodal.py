@@ -27,7 +27,7 @@ META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("media_type", T.StringType(), False),
     T.StructField("n_bytes", T.IntegerType(), False),
-    T.StructField("sha1", T.StringType(), False),
+    T.StructField("sha256", T.StringType(), False),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("duration_ms", T.IntegerType(), True),
@@ -55,19 +55,19 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
 
     def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
         n_bytes = pdf["payload"].map(len)
-        sha1 = pdf["payload"].map(lambda b: hashlib.sha1(b).hexdigest())
-        # deterministic fake dimensions from the digest
-        h0 = sha1.map(lambda s: int(s[:4], 16))
+        digest = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
+        # deterministic fake dimensions from the byte length (a real
+        # decoder reads the codec header here)
         is_img = pdf["media_type"] == "image/png"
         is_av = pdf["media_type"] != "image/png"
         return pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "media_type": pdf["media_type"],
             "n_bytes": n_bytes.astype("int32"),
-            "sha1": sha1,
-            "width": (64 + (h0 % 1024)).where(is_img).astype("Int32"),
-            "height": (64 + (h0 % 768)).where(is_img).astype("Int32"),
-            "duration_ms": (1000 + (h0 % 60000)).where(is_av).astype("Int32"),
+            "sha256": digest,
+            "width": (64 + (n_bytes % 1024)).where(is_img).astype("Int32"),
+            "height": (64 + (n_bytes % 768)).where(is_img).astype("Int32"),
+            "duration_ms": (1000 + (n_bytes % 60000)).where(is_av).astype("Int32"),
         })
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

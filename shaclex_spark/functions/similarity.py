@@ -45,24 +45,28 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
-    """Deterministic random-hyperplane LSH signature (int bitmask).
-    Plane p's coefficient for dimension d is a pseudo-random ±1/±2/…
-    derived from xxhash64(p, d) — reproducible across runs/engines."""
-    def coeff(p, d):
-        h = F.xxhash64(F.lit("plane"), p, d)
+    """Deterministic random-hyperplane LSH signature (long bitmask).
+    Plane p's coefficient for dimension d is pseudo-random, derived
+    from xxhash64(p, d) — reproducible across runs. Planes unrolled at
+    compile time (whole-stage codegen keeps this JVM-side)."""
+    def coeff(p: int, d):
+        h = F.xxhash64(F.lit("plane"), F.lit(p), d)
         return (F.pmod(h, F.lit(1000)).cast("double") - 499.5)
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc.bitwiseOR(
-            F.when(
-                F.aggregate(
-                    F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)),
-                               lambda x, d: x.cast("double") * coeff(p, d)),
-                    F.lit(0.0), lambda a2, x: a2 + x) > 0,
-                F.shiftleft(F.lit(1), p).cast("long")).otherwise(F.lit(0).cast("long"))),
-    )
+    def _mul(p: int):
+        # closure factory: PySpark reflects the lambda arity, so the
+        # plane index can't ride along as a defaulted parameter
+        return lambda x, d: x.cast("double") * coeff(p, d)
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _mul(p)),
+            F.lit(0.0), lambda a2, x: a2 + x)
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return sig
 
 
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,

@@ -1,0 +1,107 @@
+"""Schema inference: profile a node set into an inferred shape.
+
+Reference: SchemaInfer / InferredNodeConstraint lattice
+(/root/reference/modules/schemaInfer/src/main/scala/es/weso/schemaInfer/
+SchemaInfer.scala:82-101, InferredNodeConstraint.scala:9-78) — the
+reference folds each node's neighborhood through a semilattice of node
+constraints and merges shapes pointwise across nodes
+(InferredShape.scala:23-41), with the cardinality rule "count==1 ⇒
+{1,1} else {0,*}" (InferredShape.scala:159-165).
+
+Spark rendering: the lattice join is associative+commutative, so it is
+ONE groupBy(pred) aggregation with conditional counts — partial
+aggregation (map-side combine) applies, no collect_set materialization
+(SURVEY.md §2.8 'skip collect_set and aggregate the lattice directly').
+Two shuffles total: groupBy(node, pred) for per-node counts, then
+groupBy(pred) for the shape merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .model import RDF_LANGSTRING
+
+
+def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
+                label: str = "InferredShape") -> DataFrame:
+    """Profile the neighborhood of focus_nodes.
+
+    Returns one row per predicate:
+      shape, pred, constraint (IRI | BNode | <datatype iri> | Literal |
+      Any), min_card (0|1), max_card ('1' | '*'), n_nodes, n_values
+    """
+    nodes = focus_nodes.select(
+        F.col(focus_nodes.columns[0]).alias("node")).distinct()
+    n_focus = nodes.count()
+
+    arcs = nodes.join(triples, on=nodes["node"] == triples["subj"]).drop("subj")
+
+    per_node = arcs.groupBy("node", "pred").agg(
+        F.count("*").alias("cnt"),
+        F.count(F.when(F.col("obj_kind") == "iri", 1)).alias("n_iri"),
+        F.count(F.when(F.col("obj_kind") == "bnode", 1)).alias("n_bnode"),
+        F.count(F.when(F.col("obj_kind") == "literal", 1)).alias("n_lit"),
+        F.countDistinct(F.when(F.col("obj_kind") == "literal",
+                               F.col("obj_dt"))).alias("n_dts"),
+        F.min(F.when(F.col("obj_kind") == "literal",
+                     F.col("obj_dt"))).alias("one_dt"),
+    )
+
+    shape = per_node.groupBy("pred").agg(
+        F.sum("cnt").cast("bigint").alias("n_values"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("n_iri").alias("t_iri"),
+        F.sum("n_bnode").alias("t_bnode"),
+        F.sum("n_lit").alias("t_lit"),
+        F.countDistinct("one_dt").alias("t_dts"),
+        F.min("one_dt").alias("t_one_dt"),
+        F.max("n_dts").alias("max_node_dts"),
+    )
+
+    total = F.col("t_iri") + F.col("t_bnode") + F.col("t_lit")
+    constraint = (
+        F.when(F.col("t_iri") == total, F.lit("IRI"))
+        .when(F.col("t_bnode") == total, F.lit("BNode"))
+        .when((F.col("t_lit") == total) & (F.col("t_dts") == 1)
+              & (F.col("max_node_dts") <= 1), F.col("t_one_dt"))
+        .when(F.col("t_lit") == total, F.lit("Literal"))
+        .otherwise(F.lit("Any"))
+    )
+    # cardinality rule: every focus node has exactly one ⇒ {1,1};
+    # otherwise {0,*} (missing nodes count 0 ⇒ min_card 0)
+    exactly_one = (F.col("n_nodes") == n_focus) & (F.col("min_cnt") == 1) \
+        & (F.col("max_cnt") == 1)
+    return shape.select(
+        F.lit(label).alias("shape"),
+        F.col("pred"),
+        constraint.alias("constraint"),
+        F.when(exactly_one, F.lit(1)).otherwise(F.lit(0)).alias("min_card"),
+        F.when(exactly_one, F.lit("1")).otherwise(F.lit("*")).alias("max_card"),
+        "n_nodes", "n_values",
+    )
+
+
+def inferred_to_shape_json(inferred_rows: list, label: str) -> dict:
+    """Driver-side: inferred profile rows → a shapes-JSON document
+    (mirrors InferredShape emission, InferredShape.scala:49-65)."""
+    constraints = []
+    for r in sorted(inferred_rows, key=lambda r: r["pred"]):
+        c: dict = {"path": r["pred"], "minCount": int(r["min_card"])}
+        if r["max_card"] != "*":
+            c["maxCount"] = int(r["max_card"])
+        kind = r["constraint"]
+        if kind == "IRI":
+            c["node"] = {"kind": "nodeKind", "value": "IRI"}
+        elif kind == "BNode":
+            c["node"] = {"kind": "nodeKind", "value": "BlankNode"}
+        elif kind == "Literal":
+            c["node"] = {"kind": "nodeKind", "value": "Literal"}
+        elif kind == "Any":
+            c["node"] = {"kind": "true"}
+        else:
+            c["node"] = {"kind": "datatype", "iri": kind}
+        constraints.append(c)
+    return {"label": label, "constraints": constraints}

@@ -150,7 +150,11 @@ def canonicalize_triples(triples: DataFrame,
     obj_m = triples.filter((F.col("obj_kind") == "iri")
                            & F.col("obj_value").startswith(mention_prefix)) \
         .select(F.col("obj_value").substr(F.lit(mlen + 1), F.lit(10_000)).alias("mention"))
-    mentions = subj_m.unionByName(obj_m).distinct().localCheckpoint(eager=True)
+    # distinct mentions are a tiny dimension (≪ triples); collapse to a
+    # few partitions so the LSH/CC driver loops schedule small task
+    # sets instead of full-width shuffles per round.
+    mentions = subj_m.unionByName(obj_m).distinct() \
+        .repartition(4).localCheckpoint(eager=True)
 
     pairs = candidate_pairs(mentions)
     edges = jaccard_verify(pairs, threshold)

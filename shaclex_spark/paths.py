@@ -90,6 +90,10 @@ def identity_pairs(srcs: DataFrame) -> DataFrame:
 
 def path_pairs(triples: DataFrame, path: Path, srcs: DataFrame | None = None) -> DataFrame:
     """Compile a path to its (src, value) pair DataFrame."""
+    if path.kind == "self":
+        if srcs is None:
+            raise ValueError("self path requires a bounded source set")
+        return identity_pairs(srcs)
     if path.kind == "pred":
         return pred_pairs(triples, path.iri, srcs)
     if path.kind == "inverse":

@@ -57,12 +57,18 @@ DEFAULT_SHAPES = [
 
 def build_kg(spark: SparkSession, transcripts: DataFrame,
              link: bool = True) -> tuple[DataFrame, DataFrame]:
-    """transcripts → (canonical triples with provenance, mention mapping)."""
-    candidates = extract_triples(transcripts)
+    """transcripts → (canonical triples with provenance, mention mapping).
+
+    Stage boundaries persist: extraction output is read by mention
+    collection (×2) and the rewrite joins, canonical triples by focus
+    selection + every constraint join — without persistence the
+    pandas-UDF extraction re-executes once per consumer. (At cluster
+    scale the same boundary is an Iceberg table write.)"""
+    candidates = extract_triples(transcripts).persist()
     if not link:
         return candidates, None
     canonical, mapping = canonicalize_triples(candidates)
-    return canonical, mapping
+    return canonical.persist(), mapping
 
 
 def validate_kg(spark: SparkSession, triples: DataFrame,
@@ -79,6 +85,47 @@ def validate_kg(spark: SparkSession, triples: DataFrame,
     return engine.validate(focus)
 
 
+N_BUCKETS = 64
+
+
+def bucket_col(conv_col: str = "conv_id"):
+    return F.pmod(F.xxhash64(conv_col), F.lit(N_BUCKETS)).cast("int")
+
+
+def input_lineage(transcripts: DataFrame) -> DataFrame:
+    """Per-bucket lineage of the INPUT: turn count + order-independent
+    content fingerprint. This is the resume manifest key: a bucket
+    whose input fingerprint is unchanged needs no reprocessing."""
+    return (transcripts
+            .groupBy(bucket_col().alias("bucket"))
+            .agg(F.count("*").alias("n_turns"),
+                 # bit_xor: order-independent, overflow-free fingerprint
+                 F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))")
+                 .alias("input_fingerprint")))
+
+
+def dirty_buckets(spark: SparkSession, transcripts: DataFrame,
+                  output_dir: str) -> DataFrame | None:
+    """Buckets whose input changed since the last run (or None = all
+    dirty: no previous lineage manifest). Idempotent-restart core
+    (north_rule: 'resumable from checkpoint with per-partition
+    lineage + metrics')."""
+    lineage_path = os.path.join(output_dir, "input_lineage")
+    try:
+        prev = spark.read.parquet(lineage_path)
+    except Exception:
+        return None
+    cur = input_lineage(transcripts)
+    return (cur.join(prev.withColumnRenamed("input_fingerprint", "prev_fp")
+                     .withColumnRenamed("n_turns", "prev_n")
+                     .select("bucket", "prev_fp", "prev_n"),
+                     on="bucket", how="left")
+            .filter(F.col("prev_fp").isNull()
+                    | (F.col("prev_fp") != F.col("input_fingerprint"))
+                    | (F.col("prev_n") != F.col("n_turns")))
+            .select("bucket"))
+
+
 def lineage_metrics(triples: DataFrame) -> DataFrame:
     """Per-partition lineage + triple-count metrics (north_rule):
     one row per conv_id partition bucket with triple count and a
@@ -90,19 +137,32 @@ def lineage_metrics(triples: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_triples"),
                  F.countDistinct("conv_id").alias("n_convs"),
                  # order-independent content fingerprint per bucket
-                 F.sum(F.xxhash64("subj", "pred", "obj_value")).alias("fingerprint")))
+                 F.expr("bit_xor(xxhash64(subj, pred, obj_value))")
+                 .alias("fingerprint")))
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  output_dir: str | None = None,
-                 shapes_json: list[dict] | None = None) -> dict:
+                 shapes_json: list[dict] | None = None,
+                 resume: bool = False) -> dict:
     """Full job. If output_dir is set, materializes triples + report +
     lineage as parquet partitioned by bucket(conv_id-hash) — the
     Iceberg-table stand-in available in this environment (same layout:
-    partition column + snapshot-style overwrite semantics)."""
+    partition column + snapshot-style dynamic-partition overwrite).
+
+    resume=True: only buckets whose input lineage changed are
+    re-extracted and overwritten (dynamic partition overwrite); clean
+    buckets keep their existing output — idempotent restart."""
+    n_skipped = 0
+    if resume and output_dir:
+        dirty = dirty_buckets(spark, transcripts, output_dir)
+        if dirty is not None:
+            dirty_list = [r.bucket for r in dirty.collect()]
+            n_skipped = N_BUCKETS - len(dirty_list)
+            transcripts = transcripts.filter(
+                bucket_col().isin(dirty_list) if dirty_list else F.lit(False))
     triples, mapping = build_kg(spark, transcripts)
-    triples = triples.withColumn(
-        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(64)).cast("int"))
+    triples = triples.withColumn("bucket", bucket_col())
     result = validate_kg(spark, triples, shapes_json)
     out = {
         "triples": triples,
@@ -110,8 +170,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         "conformance": result.conformance,
         "report": result.report,
         "lineage": lineage_metrics(triples),
+        "n_buckets_skipped": n_skipped,
     }
     if output_dir:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         triples.write.mode("overwrite").partitionBy("bucket") \
             .parquet(os.path.join(output_dir, "triples"))
         result.conformance.write.mode("overwrite") \
@@ -120,4 +182,19 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             .parquet(os.path.join(output_dir, "report"))
         out["lineage"].write.mode("overwrite") \
             .parquet(os.path.join(output_dir, "lineage"))
+        # input lineage manifest LAST: written only after the data
+        # lands, so a crashed run re-processes its buckets
+        input_lineage_all = input_lineage(transcripts)
+        if resume:
+            try:
+                prev = spark.read.parquet(
+                    os.path.join(output_dir, "input_lineage"))
+                keep = prev.join(input_lineage_all.select("bucket"),
+                                 on="bucket", how="left_anti")
+                input_lineage_all = input_lineage_all.unionByName(keep)
+            except Exception:
+                pass
+        input_lineage_all = input_lineage_all.localCheckpoint(eager=True)
+        input_lineage_all.write.mode("overwrite") \
+            .parquet(os.path.join(output_dir, "input_lineage"))
     return out

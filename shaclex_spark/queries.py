@@ -39,7 +39,9 @@ def query(name: str, oracle: str | None = None):
 
 def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
               with_report: bool = False):
-    triples = kg_triples(spark, sf_dir)
+    # persist: the demo KG is a 14-way union re-read by focus selection,
+    # candidate propagation and every constraint join — materialize once.
+    triples = kg_triples(spark, sf_dir).persist()
     schema = SchemaDict.from_json(shapes)
     engine = ValidationEngine(spark, schema, triples)
     focus = target_focus(spark, schema, triples)
@@ -78,7 +80,8 @@ SELECT * FROM (
 def kg_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_triples(spark, sf_dir)
     schema = SchemaDict.from_json(_TARGET_SHAPES)
-    return target_focus(spark, schema, triples)
+    return target_focus(spark, schema, triples) \
+        .select("node", "shape", "selector")
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +96,7 @@ CUSTOMER_SHAPES = [
             {"path": EX + "name", "minCount": 1, "maxCount": 1,
              "node": {"kind": "datatype", "iri": XSD_STRING}},
             {"path": EX + "acctbal", "minCount": 1, "maxCount": 1,
-             "node": {"kind": "and", "exprs": [
+             "node": {"kind": "allOf", "exprs": [
                  {"kind": "datatype", "iri": XSD_DECIMAL},
                  {"kind": "minInclusive", "value": "0"}]}},
             {"path": EX + "nation", "minCount": 1,
@@ -341,3 +344,4 @@ FROM agg
 def kg_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _validate(spark, sf_dir, ORDER_REGION)
     return res.conformance
+from . import queries_data  # noqa: E402,F401  (registers data-pipeline queries)

@@ -1,0 +1,427 @@
+"""Training-data-pipeline + inference + closure queries for the driver
+gate. Registered into queries.QUERIES/ORACLES via the same decorator.
+
+Each Spark implementation is the real operator from functions/ or
+infer.py; each oracle re-derives the result in pure DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_md5_profile,
+)
+from .functions.multimodal import decode_media_meta, synth_media
+from .functions.similarity import ann_lsh_topk, cosine_topk
+from .functions.text import TOKEN_RE, lang_id, text_profile
+from .infer import infer_shape
+from .queries import EX, RDF_TYPE, query
+from .sources.kg import kg_triples
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+TOKEN_RE_SQL = TOKEN_RE.replace("\\", "\\")  # same syntax in both engines
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query("txt_profile", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{TOKEN_RE}', 0) AS tk,
+         regexp_extract_all(text, '[A-Za-z0-9]+', 0) AS words,
+         regexp_extract_all(text, '[^A-Za-z0-9\s]', 0) AS punct
+  FROM documents
+)
+SELECT doc_id,
+  len(tk) AS n_tokens,
+  len(words) AS n_words,
+  round(CAST(len(list_filter(tk, t -> lower(t) IN
+    ('the','a','an','and','or','of','to','in','is','for'))) AS DOUBLE)
+    / greatest(len(tk), 1), 6) AS stop_ratio,
+  round(CAST(len(punct) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+  round(CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE)
+    / greatest(len(words), 1), 6) AS mean_word_len,
+  round((
+    least(length(text) / 200.0, 1.0)
+    + (1.0 - least(CAST(len(punct) AS DOUBLE) / greatest(length(text),1) * 5, 1.0))
+    + (CASE WHEN CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE)
+             / greatest(len(words),1) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+    + least(CAST(len(list_filter(tk, t -> lower(t) IN
+        ('the','a','an','and','or','of','to','in','is','for'))) AS DOUBLE)
+        / greatest(len(tk),1) * 10, 1.0)
+  ) / 4, 6) AS quality,
+  md5(array_to_string(list_sort(list_distinct(list_transform(tk, t -> lower(t)))), ' '))
+    AS fingerprint
+FROM toks
+""")
+def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(_read(spark, sf_dir, "documents"))
+
+
+@query("txt_langid", oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0), t -> lower(t)) AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(tk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+    len(list_filter(tk, t -> t IN ('the','and','of','is','a'))) AS s_en,
+    len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+    len(list_filter(tk, t -> t IN ('le','la','de','et','un'))) AS s_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(greatest(s_de, s_en, s_es, s_fr) AS INT) AS lang_score
+FROM scores
+""")
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+@query("txt_simhash", oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform(regexp_extract_all(lower(text),
+    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0), t -> md5(t))) AS h
+  FROM documents
+), bits AS (
+  SELECT t.doc_id, g.j,
+    SUM(CASE WHEN ((strpos('0123456789abcdef',
+                           substr(t.h, 16 - CAST(g.j // 4 AS INT), 1)) - 1)
+              // CAST(power(2, g.j % 4) AS INT)) % 2 = 1
+         THEN 1 ELSE -1 END) AS s
+  FROM tok t CROSS JOIN generate_series(0, 63) g(j)
+  GROUP BY t.doc_id, g.j
+)
+SELECT doc_id,
+  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM bits GROUP BY doc_id
+""")
+def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_md5_profile(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_exact", oracle="""
+WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+groups AS (
+  SELECT content_hash, min(doc_id) AS canonical_id,
+         count(*) AS group_size
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+FROM hashed h JOIN groups g USING (content_hash)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", oracle=r"""
+WITH tk AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0), t -> lower(t)) AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tk
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.4
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-TRIGRAM shingle Jaccard ≥ 0.4: trigram sets are near-
+    disjoint for unrelated docs (so LSH blocking actually prunes),
+    while 1-gram vocabulary sets are degenerate on this corpus. The
+    oracle brute-forces all pairs (fine at oracle scale)."""
+    # r=1, 24 bands: candidate recall at J=0.4 is 1-(1-J)^24 ≈ 1-5e-6,
+    # so the LSH result matches the brute-force oracle; trigram
+    # disjointness keeps bucket sizes (and thus candidates) small.
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                               threshold=0.4, shingle_k=3,
+                               n_bands=24, rows_per_band=1)
+
+
+@query("dedup_minhash_candidates")  # rows-only: LSH banding is not SQL-exact
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped MinHash+LSH blocking (r=3 bands: high
+    precision, recall ≈1 only for true near-dups at J≳0.9)."""
+    return lsh_candidates(_read(spark, sf_dir, "documents"),
+                          "doc_id", "text", n_bands=8, rows_per_band=3,
+                          shingle_k=3)
+
+
+@query("emb_neardup", oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+""")
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"),
+                                   threshold=0.8, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query("emb_topk", oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS c,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM scored WHERE rank <= 5
+""")
+def emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_read(spark, sf_dir, "embeddings"),
+                       query_ids=list(range(8)), k=5)
+
+
+@query("emb_ann_lsh")  # rows-only: approximate by design
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(_read(spark, sf_dir, "embeddings"),
+                        query_ids=list(range(8)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("media_meta", oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  CAST(length(text) AS INT) AS n_bytes,
+  sha256(text) AS sha256,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(64 + length(text) % 1024 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(64 + length(text) % 768 AS INT) END AS height,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(1000 + length(text) % 60000 AS INT) END AS duration_ms
+FROM documents
+""")
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize payloads, Arrow-batched
+    'decode' stub extracts metadata. Texts are ASCII so byte length ==
+    char length, letting the oracle run on the text column."""
+    return decode_media_meta(synth_media(_read(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# schema inference over the KG
+# ---------------------------------------------------------------------------
+
+
+@query("kg_infer_customer", oracle="""
+WITH kg AS (
+  SELECT 'http://example.org/c/' || c_custkey AS node,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'iri' AS kind, CAST(NULL AS VARCHAR) AS dt
+  FROM customer
+  UNION ALL
+  SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/name',
+         'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/acctbal',
+         'literal', 'http://www.w3.org/2001/XMLSchema#decimal' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/mktsegment',
+         'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM customer
+  UNION ALL
+  SELECT 'http://example.org/c/' || c_custkey, 'http://example.org/nation',
+         'iri', NULL FROM customer
+),
+per_node AS (
+  SELECT node, pred, count(*) AS cnt,
+    count(*) FILTER (WHERE kind = 'iri') AS n_iri,
+    count(*) FILTER (WHERE kind = 'bnode') AS n_bnode,
+    count(*) FILTER (WHERE kind = 'literal') AS n_lit,
+    count(DISTINCT dt) FILTER (WHERE kind = 'literal') AS n_dts,
+    min(dt) FILTER (WHERE kind = 'literal') AS one_dt
+  FROM kg GROUP BY node, pred
+),
+shape AS (
+  SELECT pred,
+    CAST(sum(cnt) AS BIGINT) AS n_values,
+    CAST(count(*) AS BIGINT) AS n_nodes,
+    min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+    sum(n_iri) AS t_iri, sum(n_bnode) AS t_bnode, sum(n_lit) AS t_lit,
+    count(DISTINCT one_dt) AS t_dts, min(one_dt) AS t_one_dt,
+    max(n_dts) AS max_node_dts
+  FROM per_node GROUP BY pred
+)
+SELECT 'CustomerProfile' AS shape, pred,
+  CASE WHEN t_iri = t_iri + t_bnode + t_lit THEN 'IRI'
+       WHEN t_bnode = t_iri + t_bnode + t_lit THEN 'BNode'
+       WHEN t_lit = t_iri + t_bnode + t_lit AND t_dts = 1
+            AND max_node_dts <= 1 THEN t_one_dt
+       WHEN t_lit = t_iri + t_bnode + t_lit THEN 'Literal'
+       ELSE 'Any' END AS constraint,
+  CASE WHEN n_nodes = (SELECT count(*) FROM customer)
+            AND min_cnt = 1 AND max_cnt = 1 THEN 1 ELSE 0 END AS min_card,
+  CASE WHEN n_nodes = (SELECT count(*) FROM customer)
+            AND min_cnt = 1 AND max_cnt = 1 THEN '1' ELSE '*' END AS max_card,
+  n_nodes, n_values
+FROM shape
+""")
+def kg_infer_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = kg_triples(spark, sf_dir)
+    focus = (triples.filter((F.col("pred") == RDF_TYPE)
+                            & (F.col("obj_value") == EX + "Customer"))
+             .select("subj"))
+    return infer_shape(triples, focus, label="CustomerProfile")
+
+
+# ---------------------------------------------------------------------------
+# zeroOrMore closure over a synthetic successor chain
+# ---------------------------------------------------------------------------
+
+
+@query("kg_zero_or_more", oracle="""
+WITH RECURSIVE reach(a, b) AS (
+  SELECT n_nationkey, n_nationkey FROM nation
+  UNION
+  SELECT r.a, n.n_nationkey
+  FROM reach r JOIN nation n ON n.n_nationkey = r.b + 1
+)
+SELECT 'http://example.org/n/' || a AS node,
+       'http://example.org/n/' || b AS reach
+FROM reach
+""")
+def kg_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative transitive closure (zeroOrMore path) over next-edges
+    n_i → n_{i+1}; oracle is a recursive CTE."""
+    from .paths import path_pairs
+    from .shapes import Path
+
+    nation = _read(spark, sf_dir, "nation")
+    keys = nation.select(F.col("n_nationkey").alias("k"))
+    nxt = keys.alias("x").join(
+        keys.alias("y"), on=F.col("y.k") == F.col("x.k") + 1).select(
+        F.concat(F.lit(EX + "n/"), F.col("x.k")).alias("subj"),
+        F.lit(EX + "next").alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.concat(F.lit(EX + "n/"), F.col("y.k")).alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_dt"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    srcs = nation.select(F.concat(F.lit(EX + "n/"), F.col("n_nationkey")).alias("n"))
+    pairs = path_pairs(nxt, Path("zeroOrMore", steps=(Path("pred", iri=EX + "next"),)),
+                       srcs)
+    return pairs.select(F.col("src").alias("node"),
+                        F.col("v_value").alias("reach"))
+
+
+# ---------------------------------------------------------------------------
+# window/sessionization over events + oracle-checked extraction
+# ---------------------------------------------------------------------------
+
+
+@query("evt_sessionize", oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER w AS seq,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, CAST(seq AS BIGINT) AS seq,
+       COALESCE(gap IS NULL OR gap > 1800, TRUE) AS new_session
+FROM ordered
+""")
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return events.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.coalesce(gap.isNull() | (gap > 1800), F.lit(True)).alias("new_session"),
+    )
+
+
+@query("trx_extract", oracle="""
+WITH trx AS (
+  SELECT 'c' || o.o_custkey AS conv_id,
+         CAST(row_number() OVER (PARTITION BY o.o_custkey
+                                 ORDER BY o.o_orderdate, o.o_orderkey) AS INT)
+           AS turn_idx,
+         c.c_name || ' placed order ' || o.o_orderkey || '.' AS text
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT
+  'http://example.org/mention/' ||
+    trim(regexp_replace(lower(regexp_extract(text,
+      '^(Customer#[0-9]+) placed order [0-9]+\\.$', 1)),
+      '[^a-z0-9]+', '_', 'g'), '_') AS subj,
+  'http://example.org/placed' AS pred,
+  'http://example.org/o/' || regexp_extract(text,
+    '^Customer#[0-9]+ placed order ([0-9]+)\\.$', 1) AS obj_value,
+  conv_id, turn_idx
+FROM trx
+WHERE regexp_matches(text, '^Customer#[0-9]+ placed order [0-9]+\\.$')
+""")
+def trx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInPandas extractor over transcripts derived from the
+    orders table — extraction itself is oracle-checked."""
+    from pyspark.sql import Window
+
+    from .extraction import extract_triples
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    trx = (orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+           .select(
+               F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+               F.row_number().over(w).cast("int").alias("turn_idx"),
+               F.concat(F.col("c_name"), F.lit(" placed order "),
+                        F.col("o_orderkey"), F.lit(".")).alias("text"),
+           ))
+    out = extract_triples(trx)
+    return out.select("subj", "pred", "obj_value", "conv_id", "turn_idx")

@@ -26,7 +26,7 @@ from typing import Any, Optional
 # ------------------------------------------------------------------ paths
 
 PATH_KINDS = {"pred", "inverse", "sequence", "alternative",
-              "zeroOrMore", "oneOrMore", "zeroOrOne"}
+              "zeroOrMore", "oneOrMore", "zeroOrOne", "self"}
 
 
 @dataclass(frozen=True)
@@ -53,6 +53,8 @@ class Path:
         return self.kind == "pred"
 
     def describe(self) -> str:
+        if self.kind == "self":
+            return "."
         if self.kind == "pred":
             return self.iri or ""
         if self.kind == "inverse":
@@ -69,6 +71,8 @@ def parse_path(spec: Any) -> Path:
     if isinstance(spec, str):
         return Path("pred", iri=spec)
     kind = spec["kind"]
+    if kind == "self":
+        return Path("self")
     if kind == "pred":
         return Path("pred", iri=spec["iri"])
     if kind == "inverse":
@@ -90,8 +94,12 @@ EXPR_KINDS = {"true", "false", "datatype", "nodeKind", "in", "hasValue",
               "maxInclusive", "minExclusive", "maxExclusive", "languageIn"}
 # join-backed kinds: need class-membership / shape-conformance relations.
 JOIN_KINDS = {"class", "ref"}
-# combinators
-COMBINATOR_KINDS = {"and", "or", "not", "xone"}
+# combinators: "and"/"or"/"xone"/"not" are the SHACL logical
+# components (report as their own constraint component, never
+# flattened); "allOf" is the synthetic flattenable conjunction used
+# when several independent constraints share one path (each conjunct
+# reports under its own component).
+COMBINATOR_KINDS = {"and", "or", "not", "xone", "allOf"}
 
 NODE_EXPR_KINDS = EXPR_KINDS | JOIN_KINDS | COMBINATOR_KINDS
 
@@ -204,7 +212,7 @@ def parse_node_expr(spec: Any) -> NodeExpr:
         return NodeExpr(kind, langs=tuple(spec["langs"]))
     if kind == "not":
         return NodeExpr(kind, exprs=(parse_node_expr(spec["expr"]),))
-    if kind in ("and", "or", "xone"):
+    if kind in ("and", "or", "xone", "allOf"):
         return NodeExpr(kind, exprs=tuple(parse_node_expr(e) for e in spec["exprs"]))
     raise ValueError(f"unknown node expr: {spec}")
 
@@ -273,10 +281,17 @@ def parse_property(spec: dict[str, Any]) -> PropertyConstraint:
 @dataclass(frozen=True)
 class Target:
     """Validation target (SURVEY.md §2.2): kind ∈
-    targetNode | targetClass | targetSubjectsOf | targetObjectsOf."""
+    targetNode | targetClass | targetSubjectsOf | targetObjectsOf.
+
+    For targetNode, the target may be any RDF term (the W3C corpus
+    uses literal targets, e.g. `sh:targetNode 42`): term_kind/dt/lang
+    carry the full identity."""
 
     kind: str
     value: str
+    term_kind: str = "iri"
+    dt: Optional[str] = None
+    lang: Optional[str] = None
 
 
 @dataclass
@@ -291,6 +306,10 @@ class Shape:
     deactivated: bool = False
     severity: str = "Violation"
     message: Optional[str] = None
+    # transparent shapes (hoisted from nested sh:property) report their
+    # own violations directly instead of bubbling a NodeConstraint
+    # failure to the parent (SHACL sh:property nesting semantics)
+    transparent: bool = False
 
     def refs(self) -> list[tuple[str, bool]]:
         out: list[tuple[str, bool]] = []
@@ -324,7 +343,9 @@ def parse_shape(spec: dict[str, Any]) -> Shape:
         node_constraints.append(parse_node_expr(spec["node"]))
     return Shape(
         label=spec["label"],
-        targets=[Target(t["kind"], t["value"]) for t in spec.get("targets", [])],
+        targets=[Target(t["kind"], t["value"],
+                        t.get("term_kind", "iri"), t.get("dt"), t.get("lang"))
+                 for t in spec.get("targets", [])],
         node_constraints=node_constraints,
         properties=[parse_property(p) for p in spec.get("constraints", [])],
         closed=bool(spec.get("closed", False)),
@@ -332,6 +353,7 @@ def parse_shape(spec: dict[str, Any]) -> Shape:
         deactivated=bool(spec.get("deactivated", False)),
         severity=spec.get("severity", "Violation"),
         message=spec.get("message"),
+        transparent=bool(spec.get("transparent", False)),
     )
 
 

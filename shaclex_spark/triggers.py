@@ -18,10 +18,15 @@ from .shapes import SchemaDict
 
 
 def _mk(df: DataFrame, shape: str, selector: str) -> DataFrame:
+    kind = F.when(F.col(df.columns[0]).startswith("_:"), F.lit("bnode")) \
+        .otherwise(F.lit("iri"))
     return df.select(
         F.col(df.columns[0]).alias("node"),
         F.lit(shape).alias("shape"),
         F.lit(selector).alias("selector"),
+        kind.alias("node_kind"),
+        F.lit(None).cast("string").alias("node_dt"),
+        F.lit(None).cast("string").alias("node_lang"),
     )
 
 
@@ -29,24 +34,41 @@ def target_focus(spark: SparkSession, schema: SchemaDict,
                  triples: DataFrame) -> DataFrame:
     """TargetDeclarations: union of per-shape target selections."""
     pieces: list[DataFrame] = []
+    membership = None  # lazy: only built when a targetClass exists
     for lbl, sh in schema.shapes.items():
         for t in sh.targets:
             if t.kind == "targetNode":
-                pieces.append(_mk(spark.createDataFrame([(t.value,)], "node string"),
-                                  lbl, "targetNode"))
+                # target may be any RDF term (literal targets in the
+                # W3C corpus): carry the full term identity
+                term_kind = ("bnode" if t.value.startswith("_:")
+                             else t.term_kind)
+                row = spark.createDataFrame(
+                    [(t.value, lbl, "targetNode", term_kind, t.dt, t.lang)],
+                    "node string, shape string, selector string, "
+                    "node_kind string, node_dt string, node_lang string")
+                pieces.append(row)
             elif t.kind == "targetClass":
-                sel = (triples.filter((F.col("pred") == RDF_TYPE)
-                                      & (F.col("obj_kind") == "iri")
-                                      & (F.col("obj_value") == t.value))
-                       .select("subj").distinct())
+                # includes instances of rdfs:subClassOf* subclasses
+                if membership is None:
+                    from .validation import class_membership
+                    membership = class_membership(triples)
+                sel = (membership.filter(F.col("cls") == t.value)
+                       .select("inst").distinct())
                 pieces.append(_mk(sel, lbl, "targetClass"))
             elif t.kind == "targetSubjectsOf":
                 sel = triples.filter(F.col("pred") == t.value).select("subj").distinct()
                 pieces.append(_mk(sel, lbl, "targetSubjectsOf"))
             elif t.kind == "targetObjectsOf":
+                # objects may be literal terms: carry full term identity
                 sel = (triples.filter(F.col("pred") == t.value)
-                       .select("obj_value").distinct())
-                pieces.append(_mk(sel, lbl, "targetObjectsOf"))
+                       .select(F.col("obj_value").alias("node"),
+                               F.lit(lbl).alias("shape"),
+                               F.lit("targetObjectsOf").alias("selector"),
+                               F.col("obj_kind").alias("node_kind"),
+                               F.col("obj_dt").alias("node_dt"),
+                               F.col("obj_lang").alias("node_lang"))
+                       .distinct())
+                pieces.append(sel)
             else:
                 raise ValueError(f"unknown target kind {t.kind}")
     if not pieces:

@@ -58,14 +58,26 @@ def node_key_col(kind: Column, value: Column, dt: Column, lang: Column) -> Colum
 
 def focus_to_candidates(focus: DataFrame) -> DataFrame:
     """focus(node, shape, ...) → per-shape candidate rows with term columns.
-    Focus node ids are iri/bnode ('_:' prefix convention)."""
-    kind = F.when(F.col("node").startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri"))
+
+    If the focus carries full term columns (node_kind/node_dt/
+    node_lang — emitted by triggers for literal targetNode terms),
+    they are honored; otherwise the kind is inferred from the '_:'
+    bnode prefix convention."""
+    inferred = F.when(F.col("node").startswith("_:"), F.lit("bnode")) \
+        .otherwise(F.lit("iri"))
+    if "node_kind" in focus.columns:
+        kind = F.coalesce(F.col("node_kind"), inferred)
+        dt = F.col("node_dt")
+        lang = F.col("node_lang")
+    else:
+        kind, dt, lang = inferred, F.lit(None).cast("string"), \
+            F.lit(None).cast("string")
     return focus.select(
         F.col("shape"),
         kind.alias("f_kind"),
         F.col("node").alias("f_value"),
-        F.lit(None).cast("string").alias("f_dt"),
-        F.lit(None).cast("string").alias("f_lang"),
+        dt.alias("f_dt"),
+        lang.alias("f_lang"),
     ).withColumn(KEY, node_key_col(F.col("f_kind"), F.col("f_value"),
                                    F.col("f_dt"), F.col("f_lang"))).distinct()
 
@@ -112,15 +124,25 @@ def _numeric_value(tc: TermCols) -> Column:
                   ).otherwise(tc.value.try_cast("double"))
 
 
+_TZ_RE = r"(Z|[+-]\d\d:\d\d)$"
+
+
 def _range_check(e: NodeExpr, tc: TermCols) -> Column:
     lit_raw = e.value
+    tz_guard = F.lit(True)
     try:
         bound = F.lit(float(lit_raw))
         val = _numeric_value(tc)
     except ValueError:
-        # temporal bound
+        # temporal bound. XSD dateTime ordering between zoned and
+        # unzoned values is indeterminate ⇒ violation (W3C
+        # minInclusive-003): require equal timezone-ness.
+        import re as _re
+
         bound = F.lit(lit_raw).cast("timestamp").cast("double")
         val = tc.value.try_cast("timestamp").cast("double")
+        bound_has_tz = bool(_re.search(r"(Z|[+-]\d\d:\d\d)$", lit_raw))
+        tz_guard = tc.value.rlike(_TZ_RE) == F.lit(bound_has_tz)
     cmp = {
         "minInclusive": val >= bound,
         "maxInclusive": val <= bound,
@@ -128,7 +150,7 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
         "maxExclusive": val < bound,
     }[e.kind]
     # non-literal or non-comparable value ⇒ violation (never null)
-    return (tc.kind == "literal") & val.isNotNull() & cmp
+    return (tc.kind == "literal") & val.isNotNull() & tz_guard & cmp
 
 
 def _value_match(v: ValueSpec, tc: TermCols) -> Column:
@@ -192,7 +214,7 @@ def compile_expr(e: NodeExpr, tc: TermCols) -> Column:
         return F.coalesce(tc.ref_cols[e.label], F.lit(False))
     if k == "not":
         return ~compile_expr(e.exprs[0], tc)
-    if k == "and":
+    if k in ("and", "allOf"):
         out = compile_expr(e.exprs[0], tc)
         for sub in e.exprs[1:]:
             out = out & compile_expr(sub, tc)
@@ -235,8 +257,10 @@ COMPONENT_NAMES = {
 
 
 def _top_conjuncts(e: NodeExpr) -> list[NodeExpr]:
-    """Flatten top-level ANDs so each conjunct reports independently."""
-    if e.kind == "and":
+    """Flatten synthetic allOf conjunctions so each constraint reports
+    under its own component; sh:and stays intact (it reports as
+    AndConstraintComponent per SHACL)."""
+    if e.kind == "allOf":
         out: list[NodeExpr] = []
         for sub in e.exprs:
             out.extend(_top_conjuncts(sub))
@@ -250,6 +274,46 @@ def _collect_refs(e: NodeExpr) -> set[str]:
 
 def _collect_classes(e: NodeExpr) -> set[str]:
     return e.classes()
+
+
+
+def class_membership(triples: DataFrame) -> DataFrame:
+    """(inst, cls) membership with rdfs:subClassOf* closure — SHACL
+    sh:class and targetClass include instances of subclasses
+    (exercised by shacl/tests/core/node/class-001.ttl). The subclass
+    graph is schema-sized: its transitive closure is a short driver
+    loop; when no subclass edges exist (the common transcript-KG case)
+    this is exactly the direct rdf:type relation."""
+    from .model import RDFS
+
+    direct = (triples.filter((F.col("pred") == RDF_TYPE)
+                             & (F.col("obj_kind") == "iri"))
+              .select(F.col("subj").alias("inst"),
+                      F.col("obj_value").alias("cls"))
+              .distinct())
+    sub = (triples.filter((F.col("pred") == RDFS + "subClassOf")
+                          & (F.col("obj_kind") == "iri"))
+           .select(F.col("subj").alias("child"),
+                   F.col("obj_value").alias("parent"))
+           .distinct())
+    if sub.isEmpty():
+        return direct
+    closure = sub.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(MAX_FIXPOINT_ROUNDS):
+        step = (frontier.withColumnRenamed("parent", "mid")
+                .join(sub.withColumnRenamed("child", "mid"), on="mid")
+                .select("child", "parent"))
+        new = step.join(closure, on=["child", "parent"], how="left_anti") \
+            .distinct().localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    inherited = (direct.withColumnRenamed("cls", "child")
+                 .join(closure, on="child")
+                 .select("inst", F.col("parent").alias("cls")))
+    return direct.unionByName(inherited).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -281,13 +345,16 @@ class ValidationEngine:
         self.schema = schema
         self.triples = triples
         # class-membership relation used by every sh:class / targetClass:
-        # computed once, reused across shapes.
-        self._type_arcs = (
-            triples.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_kind") == "iri"))
-            .select(F.col("subj").alias("inst"), F.col("obj_value").alias("cls"))
-            .distinct()
-        )
+        # computed once (with rdfs:subClassOf* closure), reused across shapes.
+        self._type_arcs = class_membership(triples)
         self._persisted: list[DataFrame] = []
+
+    def _is_transparent_ref(self, cj: NodeExpr) -> bool:
+        """Refs to transparent shapes (hoisted nested sh:property) do
+        not report at the outer focus — the nested shape's own results
+        surface instead (SHACL sh:property nesting)."""
+        return (cj.kind == "ref"
+                and self.schema.shapes[cj.label].transparent)
 
     # -- candidate propagation --------------------------------------------
 
@@ -303,38 +370,64 @@ class ValidationEngine:
                     edges.append((lbl, ref, pc))
         return edges
 
+    def _derive_candidates(self, fa: DataFrame,
+                           pc: PropertyConstraint | None) -> DataFrame:
+        """Values reachable from candidate set fa via constraint pc's
+        path (or fa itself for focus-level refs)."""
+        if pc is None:
+            return fa.select(KEY, *FCOLS)
+        srcs = fa.filter(F.col("f_kind") != "literal") \
+                 .select(F.col("f_value").alias("n"))
+        pairs = path_pairs(self.triples, pc.path, srcs)
+        return pairs.select(
+            F.col("v_kind").alias("f_kind"),
+            F.col("v_value").alias("f_value"),
+            F.col("v_dt").alias("f_dt"),
+            F.col("v_lang").alias("f_lang"),
+        ).withColumn(KEY, node_key_col(
+            F.col("f_kind"), F.col("f_value"),
+            F.col("f_dt"), F.col("f_lang"))).select(KEY, *FCOLS)
+
     def _propagate_candidates(self, focus: DataFrame) -> dict[str, DataFrame]:
-        """cand[S]: every term whose conformance to S is needed.
-        Semi-naive: each round expands only newly-added candidates —
-        the relevant-subgraph reduction (SLang2Clingo.scala:220-228)."""
+        """cand[S]: every term whose conformance to S is needed —
+        the relevant-subgraph reduction (SLang2Clingo.scala:220-228).
+
+        Acyclic schemas (the common case): ONE lazy pass over shapes in
+        dependents-first order — no driver actions, no checkpoints; the
+        whole propagation folds into the evaluation plan. Recursive
+        schemas: semi-naive frontier loop with localCheckpoint."""
         cands: dict[str, DataFrame] = {}
         base = focus_to_candidates(focus)
         for lbl in self.schema.shapes:
-            df = base.filter(F.col("shape") == lbl).drop("shape")
-            cands[lbl] = df.localCheckpoint(eager=True)
-        frontier = {lbl: cands[lbl] for lbl in self.schema.shapes}
+            cands[lbl] = base.filter(F.col("shape") == lbl).drop("shape")
+
         edges = self._ref_edges()
+        sccs = self.schema.strata()  # dependencies first
+        recursive = any(self.schema.is_recursive(scc) for scc in sccs)
+
+        if not recursive:
+            by_src: dict[str, list] = {}
+            for a, b, pc in edges:
+                by_src.setdefault(a, []).append((b, pc))
+            # dependents before dependencies ⇒ reversed strata order
+            for scc in reversed(sccs):
+                a = scc[0]
+                for b, pc in by_src.get(a, []):
+                    derived = self._derive_candidates(cands[a], pc)
+                    cands[b] = cands[b].unionByName(derived) \
+                        .dropDuplicates([KEY])
+            return cands
+
+        for lbl in self.schema.shapes:
+            cands[lbl] = cands[lbl].localCheckpoint(eager=True)
+        frontier = {lbl: cands[lbl] for lbl in self.schema.shapes}
         for _ in range(MAX_FIXPOINT_ROUNDS):
             new_frontier: dict[str, list[DataFrame]] = {}
             for a, b, pc in edges:
                 fa = frontier.get(a)
                 if fa is None or fa.isEmpty():
                     continue
-                if pc is None:
-                    derived = fa
-                else:
-                    srcs = fa.filter(F.col("f_kind") != "literal") \
-                             .select(F.col("f_value").alias("n"))
-                    pairs = path_pairs(self.triples, pc.path, srcs)
-                    derived = pairs.select(
-                        F.col("v_kind").alias("f_kind"),
-                        F.col("v_value").alias("f_value"),
-                        F.col("v_dt").alias("f_dt"),
-                        F.col("v_lang").alias("f_lang"),
-                    ).withColumn(KEY, node_key_col(
-                        F.col("f_kind"), F.col("f_value"),
-                        F.col("f_dt"), F.col("f_lang")))
-                derived = derived.select(KEY, *FCOLS)
+                derived = self._derive_candidates(fa, pc)
                 new = derived.join(cands[b].select(KEY), on=KEY, how="left_anti")
                 new_frontier.setdefault(b, []).append(new)
             frontier = {}
@@ -529,9 +622,11 @@ class ValidationEngine:
                 aggs.append(F.countDistinct(
                     F.when(on_path & tc.lang.isNotNull(), F.lower(tc.lang))).alias(ndl))
             checks.append((pc, names))
-            # per-value violation report rows
+            # per-value violation report rows (qualified shapes report
+            # only their count components, never per-value)
             for cj in conjs:
-                if cj.kind == "hasValue":
+                if (pc.qualified or cj.kind == "hasValue"
+                        or self._is_transparent_ref(cj)):
                     continue
                 col = compile_expr(cj, tc)
                 report_value_filters.append((pc, cj, on_path & ~col))
@@ -638,7 +733,8 @@ class ValidationEngine:
         for c in per_value:
             v_ok = v_ok & compile_expr(c, tc)
         for cj in per_value:
-            if cj.kind == "true":
+            if (pc.qualified or cj.kind == "true"
+                    or self._is_transparent_ref(cj)):
                 continue
             col = compile_expr(cj, tc)
             comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
@@ -746,6 +842,12 @@ class ValidationEngine:
 
     def validate(self, focus: DataFrame) -> ValidationResult:
         cands = self._propagate_candidates(focus)
+        # candidate sets are reused by every constraint sub-plan of a
+        # shape (fused agg, complex paths, pairwise, reports): persist
+        # lazily so each materializes at most once.
+        for lbl in cands:
+            cands[lbl] = cands[lbl].persist()
+            self._persisted.append(cands[lbl])
         conf: dict[str, DataFrame] = {}
         all_reports: list[DataFrame] = []
 
@@ -753,7 +855,10 @@ class ValidationEngine:
             if not self.schema.is_recursive(scc):
                 lbl = scc[0]
                 c, reps = self._evaluate_shape(self.schema.shapes[lbl], cands[lbl], conf)
-                conf[lbl] = c.localCheckpoint(eager=True)
+                # lazy persist: materialized on first action, reused by
+                # every ref join — no eager driver-side job per shape
+                conf[lbl] = c.persist()
+                self._persisted.append(conf[lbl])
                 all_reports.extend(reps)
             else:
                 # greatest fixpoint: start all-conforming (co-inductive
@@ -796,11 +901,20 @@ class ValidationEngine:
         else:
             from .model import REPORT_SCHEMA
             report = self.spark.createDataFrame([], REPORT_SCHEMA)
-        # only report violations for shapes' own focus (not derived candidates)
+        # report violations for the shapes' own focus plus everything a
+        # TRANSPARENT (nested sh:property) shape produced on derived
+        # candidates; opaque ref targets report only via the parent's
+        # NodeConstraintComponent (SHACL sh:node vs sh:property split).
         focus_nodes = focus.select(F.col("node").alias("focus_node"),
                                    F.col("shape").alias("source_shape")).distinct()
-        report = report.join(F.broadcast(focus_nodes),
-                             on=["focus_node", "source_shape"], how="left_semi")
+        kept = report.join(F.broadcast(focus_nodes),
+                           on=["focus_node", "source_shape"], how="left_semi")
+        transparent = [lbl for lbl, sh in self.schema.shapes.items()
+                       if sh.transparent]
+        if transparent:
+            kept = kept.unionByName(
+                report.filter(F.col("source_shape").isin(transparent)))
+        report = kept
         focus_pairs = focus.select("node", "shape").distinct()
         conformance = conformance.join(focus_pairs, on=["node", "shape"], how="left_semi")
         return ValidationResult(conformance=conformance, report=report)
