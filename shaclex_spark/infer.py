@@ -84,6 +84,62 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
     )
 
 
+def infer_schema(triples: DataFrame, focus_nodes: DataFrame,
+                 label: str = "InferredShape",
+                 follow_on: list[tuple[str, str]] | None = None,
+                 max_follow_on: int = 1) -> DataFrame:
+    """Full inference with bounded followOn expansion.
+
+    follow_on: [(pred_regex, sub_label)] — when a predicate of the
+    profiled shape matches, its (non-literal) objects become a new
+    focus set profiled as sub_label, and the parent constraint becomes
+    a shape ref ('@sub_label'). Bounded by max_follow_on rounds with a
+    visited-set guard (anti-join), mirroring SchemaInfer.followOn
+    (/root/reference/modules/schemaInfer/src/main/scala/es/weso/
+    schemaInfer/SchemaInfer.scala:253-274, FollowOn.scala:16-55,
+    visited guard SchemaInfer.scala:291-296).
+    """
+    profiles = [infer_shape(triples, focus_nodes, label)]
+    if not follow_on:
+        return profiles[0]
+    visited = focus_nodes.select(
+        F.col(focus_nodes.columns[0]).alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    frontier: list[tuple[str, DataFrame]] = [(label, visited)]
+    for _ in range(max_follow_on):
+        next_frontier: list[tuple[str, DataFrame]] = []
+        for parent_label, nodes in frontier:
+            arcs = nodes.join(triples, on=nodes["node"] == triples["subj"])
+            for rx, sub_label in follow_on:
+                objs = (arcs.filter(F.col("pred").rlike(rx)
+                                    & (F.col("obj_kind") != "literal"))
+                        .select(F.col("obj_value").alias("node")).distinct())
+                new = objs.join(visited, on="node", how="left_anti") \
+                    .localCheckpoint(eager=True)
+                if new.isEmpty():
+                    continue
+                visited = visited.unionByName(new).localCheckpoint(eager=True)
+                profiles.append(infer_shape(triples, new, sub_label))
+                # parent constraint becomes a ref to the sub-shape
+                profiles[0] = None  # recomputed below with refs
+                next_frontier.append((sub_label, new))
+        frontier = next_frontier
+        if not frontier:
+            break
+    base = infer_shape(triples, focus_nodes, label)
+    if follow_on:
+        ref_expr = F.col("constraint")
+        for rx, sub_label in follow_on:
+            ref_expr = F.when(F.col("pred").rlike(rx),
+                              F.lit("@" + sub_label)).otherwise(ref_expr)
+        base = base.withColumn("constraint", ref_expr)
+    out = base
+    for p in profiles[1:]:
+        if p is not None:
+            out = out.unionByName(p)
+    return out
+
+
 def inferred_to_shape_json(inferred_rows: list, label: str) -> dict:
     """Driver-side: inferred profile rows → a shapes-JSON document
     (mirrors InferredShape emission, InferredShape.scala:49-65)."""

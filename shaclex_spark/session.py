@@ -41,8 +41,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
         .config("spark.ui.enabled", "false")
+        # local mode: big heaps GC rarely, so ContextCleaner (which
+        # piggybacks on GC) never reclaims old shuffle/block state —
+        # force a periodic GC so long sessions stay flat.
+        .config("spark.cleaner.periodicGC.interval", "60s")
+        # shuffle spill dir on tmpfs: the VM block device is throttled
+        # and makes shuffle-heavy stage times wildly variable; RAM is
+        # plentiful (125G) and shuffles here are a few GB.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
+                                                  "/dev/shm/spark-local"))
         # Broadcast threshold: shape dictionaries / focus dims are small;
         # let Catalyst broadcast up to 64 MB before falling back to SMJ.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -106,9 +106,11 @@ NODE_EXPR_KINDS = EXPR_KINDS | JOIN_KINDS | COMBINATOR_KINDS
 
 @dataclass(frozen=True)
 class ValueSpec:
-    """One member of an sh:in value list / sh:hasValue: an RDF term."""
+    """One member of an sh:in value list / sh:hasValue: an RDF term,
+    or a stem (prefix) match — iriStem / languageStem, the ShEx stem
+    forms surfaced by schema inference (InferredShape.scala:127-147)."""
 
-    kind: str  # iri | bnode | literal
+    kind: str  # iri | bnode | literal | iriStem | languageStem
     value: str
     dt: Optional[str] = None
     lang: Optional[str] = None
@@ -300,6 +302,9 @@ class Shape:
     targets: list[Target] = field(default_factory=list)
     node_constraints: list[NodeExpr] = field(default_factory=list)
     properties: list[PropertyConstraint] = field(default_factory=list)
+    # ShEx OneOf in the flat form (SURVEY.md §2.4): exclusive choice
+    # among groups of triple constraints — exactly one group must hold.
+    one_of: list[list[PropertyConstraint]] = field(default_factory=list)
     closed: bool = False
     # extra predicates tolerated by CLOSED (sh:ignoredProperties / ShEx EXTRA)
     ignored: list[str] = field(default_factory=list)
@@ -317,6 +322,9 @@ class Shape:
             out.extend(ne.refs())
         for p in self.properties:
             out.extend(p.refs())
+        for group in self.one_of:
+            for p in group:
+                out.extend(p.refs())
         return out
 
     def classes(self) -> set[str]:
@@ -334,6 +342,10 @@ class Shape:
         for p in self.properties:
             if p.path.kind == "pred":
                 out.add(p.path.iri)
+        for group in self.one_of:
+            for p in group:
+                if p.path.kind == "pred":
+                    out.add(p.path.iri)
         return out
 
 
@@ -348,6 +360,8 @@ def parse_shape(spec: dict[str, Any]) -> Shape:
                  for t in spec.get("targets", [])],
         node_constraints=node_constraints,
         properties=[parse_property(p) for p in spec.get("constraints", [])],
+        one_of=[[parse_property(p) for p in group]
+                for group in spec.get("oneOf", [])],
         closed=bool(spec.get("closed", False)),
         ignored=list(spec.get("extra", spec.get("ignored", []))),
         deactivated=bool(spec.get("deactivated", False)),

@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
   | (?P<repeat>\{\s*\d+\s*(?:,\s*(?:\d+|\*)?\s*)?\})
   | (?P<pname>\^?[A-Za-z_][\w.-]*:[\w.-]*|\^?:[\w.-]+|:)
   | (?P<keyword>[A-Za-z]+)
-  | (?P<punct>[{}();@\[\].,^])
+  | (?P<punct>[{}();@\[\].,^|])
 """, re.VERBOSE)
 
 
@@ -148,15 +148,20 @@ class _Parser:
             else:
                 raise ShExCError(f"shape {label}: unexpected {tok!r}")
         self.expect("{")
-        preds: list[str] = []
+        groups: list[list[dict]] = [[]]
         while self.peek() != "}":
             tc = self.parse_triple_constraint()
-            spec["constraints"].append(tc)
-            preds.append(tc["path"] if isinstance(tc["path"], str)
-                         else tc["path"].get("iri"))
+            groups[-1].append(tc)
             if self.peek() == ";":
                 self.next()
+            elif self.peek() == "|":   # ShEx OneOf group separator
+                self.next()
+                groups.append([])
         self.expect("}")
+        if len(groups) > 1:
+            spec["oneOf"] = groups
+        else:
+            spec["constraints"] = groups[0]
         if node_constraints:
             spec["nodeConstraints"] = node_constraints
         spec["closed"] = closed

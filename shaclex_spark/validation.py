@@ -154,6 +154,13 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
 
 
 def _value_match(v: ValueSpec, tc: TermCols) -> Column:
+    if v.kind == "iriStem":
+        return (tc.kind == "iri") & tc.value.startswith(v.value)
+    if v.kind == "languageStem":
+        low = v.value.lower()
+        return ((tc.kind == "literal") & tc.lang.isNotNull()
+                & ((F.lower(tc.lang) == low)
+                   | F.lower(tc.lang).startswith(low + "-")))
     if v.kind == "iri":
         return (tc.kind == "iri") & (tc.value == v.value)
     if v.kind == "bnode":
@@ -349,6 +356,18 @@ class ValidationEngine:
         self._type_arcs = class_membership(triples)
         self._persisted: list[DataFrame] = []
 
+    def unpersist_all(self) -> None:
+        """Release every DataFrame this engine persisted (candidate
+        sets, per-shape conformance). Call after consuming results in
+        long-lived sessions — leftover cached blocks degrade later
+        jobs."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
+
     def _is_transparent_ref(self, cj: NodeExpr) -> bool:
         """Refs to transparent shapes (hoisted nested sh:property) do
         not report at the outer focus — the nested shape's own results
@@ -368,6 +387,10 @@ class ValidationEngine:
             for pc in sh.properties:
                 for ref in _collect_refs(pc.node):
                     edges.append((lbl, ref, pc))
+            for group in sh.one_of:
+                for pc in group:
+                    for ref in _collect_refs(pc.node):
+                        edges.append((lbl, ref, pc))
         return edges
 
     def _derive_candidates(self, fa: DataFrame,
@@ -492,8 +515,9 @@ class ValidationEngine:
         shp = F.lit(shape.label)
         msg = F.lit(shape.message).cast("string")
 
-        if shape.deactivated or (not shape.node_constraints and not shape.properties
-                                 and not shape.closed):
+        if shape.deactivated or (not shape.node_constraints
+                                 and not shape.properties
+                                 and not shape.one_of and not shape.closed):
             return cand.withColumn("conforms", F.lit(True)), reports
 
         ok_flags: list[tuple[str, DataFrame]] = []  # (flag column name, keyed DF)
@@ -546,6 +570,41 @@ class ValidationEngine:
             flag = f"__cpath_{i}_ok"
             dfp = self._eval_one_property(shape, cand, conf, pc, flag, reports)
             ok_flags.append((flag, dfp))
+
+        # ShEx OneOf: evaluate each group independently (inner reports
+        # discarded — the OneOf reports as a whole), then exactly-one.
+        if shape.one_of:
+            from dataclasses import replace as _dc_replace
+
+            group_flags = []
+            for gi, group in enumerate(shape.one_of):
+                proxy = _dc_replace(shape, closed=False, one_of=[],
+                                    node_constraints=[], properties=list(group))
+                sub_reports: list[DataFrame] = []
+                gdf = self._eval_simple_props(
+                    proxy, cand, conf,
+                    [pc for pc in group if pc.path.is_simple_pred], sub_reports)
+                gname = f"__oneof_{gi}"
+                group_flags.append(
+                    gdf.select(KEY, F.col("__props_ok").alias(gname)))
+            merged = cand.select(KEY, "f_value")
+            total = F.lit(0)
+            for gi, gdf in enumerate(group_flags):
+                merged = merged.join(gdf, on=KEY, how="left")
+                total = total + F.coalesce(
+                    F.col(f"__oneof_{gi}"), F.lit(False)).cast("int")
+            one_ok = (total == 1)
+            reports.append(merged.filter(~one_ok).select(
+                F.col("f_value").alias("focus_node"),
+                shp.alias("source_shape"),
+                F.lit("OneOfConstraintComponent").alias("component"),
+                sev.alias("severity"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("path"),
+                msg.alias("message"),
+            ))
+            ok_flags.append(("__oneof_ok",
+                             merged.select(KEY, one_ok.alias("__oneof_ok"))))
 
         # pairwise sibling constraints
         for i, pc in enumerate(shape.properties):
