@@ -149,12 +149,27 @@ class _Parser:
                 raise ShExCError(f"shape {label}: unexpected {tok!r}")
         self.expect("{")
         groups: list[list[dict]] = [[]]
+        one_of_inline: list[list[list[dict]]] = []
         while self.peek() != "}":
-            tc = self.parse_triple_constraint()
-            groups[-1].append(tc)
+            if self.peek() == "(":
+                # inline OneOf group: ( tc... | tc... ) inside an EachOf
+                self.next()
+                inner: list[list[dict]] = [[]]
+                while self.peek() != ")":
+                    inner[-1].append(self.parse_triple_constraint())
+                    if self.peek() == ";":
+                        self.next()
+                    elif self.peek() == "|":
+                        self.next()
+                        inner.append([])
+                self.expect(")")
+                one_of_inline.append(inner)
+            else:
+                tc = self.parse_triple_constraint()
+                groups[-1].append(tc)
             if self.peek() == ";":
                 self.next()
-            elif self.peek() == "|":   # ShEx OneOf group separator
+            elif self.peek() == "|":   # top-level OneOf group separator
                 self.next()
                 groups.append([])
         self.expect("}")
@@ -162,6 +177,17 @@ class _Parser:
             spec["oneOf"] = groups
         else:
             spec["constraints"] = groups[0]
+        if one_of_inline:
+            # each inline group contributes one exclusive-choice block
+            spec.setdefault("oneOf", [])
+            for inner in one_of_inline:
+                if spec["oneOf"]:
+                    # engine supports ONE oneOf block per shape: merge
+                    # by cross-combining would explode; keep first,
+                    # reject extras explicitly
+                    raise ShExCError(
+                        f"shape {label}: multiple OneOf blocks unsupported")
+                spec["oneOf"] = inner
         if node_constraints:
             spec["nodeConstraints"] = node_constraints
         spec["closed"] = closed
