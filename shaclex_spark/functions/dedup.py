@@ -79,11 +79,19 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
                    n_bands: int, rows_per_band: int,
-                   shingle_k: int = 1) -> DataFrame:
+                   shingle_k: int = 1,
+                   max_bucket_size: int | None = None,
+                   verbose: bool = False) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 minhash band bucket.
 
     Shuffles: one groupBy(id) for signatures, one band-bucket self-join
-    (bounded by bucket sizes, never all-pairs)."""
+    (bounded by bucket sizes, never all-pairs).
+
+    ``max_bucket_size`` drops degenerate buckets (empty/boilerplate
+    docs whose identical signatures put the whole corpus in one bucket,
+    making the per-bucket self-join quadratic). Default None = exact
+    LSH recall (oracle-parity configuration); production callers should
+    cap (linking.MAX_BUCKET_SIZE is the shared default)."""
     n_hashes = n_bands * rows_per_band
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     band_cols = [
@@ -98,6 +106,9 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
     bands = sig.select(
         "i", F.explode(F.array(*band_cols)).alias("bb"),
     ).select("i", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size:
+        from ..linking import _cap_buckets
+        bands = _cap_buckets(bands, max_bucket_size, verbose)
     left = bands.select("band", "bucket", F.col("i").alias("a"))
     right = bands.select("band", "bucket", F.col("i").alias("b"))
     return (left.join(right, on=["band", "bucket"])

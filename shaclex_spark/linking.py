@@ -49,14 +49,46 @@ def minhash_signature(col, n_hashes: int = N_HASHES):
     )
 
 
+MAX_BUCKET_SIZE = 2000  # hot-bucket cap: a degenerate bucket of size s
+#                         costs s² pair rows; capping bounds the
+#                         per-bucket self-join. True near-dup pairs
+#                         share many OTHER bands, so recall loss is
+#                         confined to pathological (empty/boilerplate)
+#                         content that exact-dedup should eat first.
+
+
+def _cap_buckets(bands: DataFrame, max_bucket_size: int | None,
+                 verbose: bool = False) -> DataFrame:
+    """Drop (band, bucket) groups larger than the cap. Hot buckets are
+    few by definition ⇒ the over-cap list is broadcast into an
+    anti-join; the sizes aggregation is one map-side-combined shuffle."""
+    if not max_bucket_size:
+        return bands
+    key = [c for c in ("band", "bucket") if c in bands.columns]
+    hot = (bands.groupBy(*key).agg(F.count("*").alias("__sz"))
+           .filter(F.col("__sz") > max_bucket_size))
+    if verbose:
+        import logging
+        dropped = hot.agg(F.coalesce(F.sum("__sz"), F.lit(0)).alias("n")) \
+            .collect()[0]["n"]
+        logging.getLogger(__name__).warning(
+            "LSH hot-bucket cap %d: dropping %d band-rows", max_bucket_size,
+            dropped)
+    return bands.join(F.broadcast(hot.select(*key)), on=key, how="left_anti")
+
+
 def candidate_pairs(mentions: DataFrame, id_col: str = "mention",
-                    n_bands: int = N_BANDS) -> DataFrame:
+                    n_bands: int = N_BANDS,
+                    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                    verbose: bool = False) -> DataFrame:
     """LSH banding: mentions sharing any band bucket become candidate
     pairs (a < b). Output: (a, b) distinct.
 
-    Scale note: the band-bucket groupBy is the only shuffle; hot
-    buckets (stopword-like mentions) are bounded because signatures
-    are over full surface forms, and the pair join is per-bucket."""
+    Scale note: the band-bucket groupBy is the only shuffle; the pair
+    join is per-bucket, and ``max_bucket_size`` caps degenerate buckets
+    (e.g. many near-empty surface forms hashing to one band value)
+    whose s² self-join would otherwise re-introduce the quadratic
+    blow-up LSH exists to avoid."""
     r = N_HASHES // n_bands
     sig = mentions.select(
         F.col(id_col).alias("m"),
@@ -71,6 +103,7 @@ def candidate_pairs(mentions: DataFrame, id_col: str = "mention",
             )
         ).alias("band", "bucket"),
     )
+    bands = _cap_buckets(bands, max_bucket_size, verbose)
     left = bands.select("band", "bucket", F.col("m").alias("a"))
     right = bands.select("band", "bucket", F.col("m").alias("b"))
     return (
@@ -96,41 +129,82 @@ def jaccard_verify(pairs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
             .select("a", "b", "jaccard"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', alg. 2): for every node u with neighborhood
+    Γ(u), connect each strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+    One symmetrize + one groupBy-min + one join per round."""
+    sym = (e.select(F.col("u"), F.col("v"))
+           .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"),
+                    F.least(F.col("mn"), F.col("u")).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round (alg. 3): orient edges high→low, connect every
+    smaller-or-equal neighbor (and u itself) to m = min neighbor."""
+    hi_lo = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v")).filter(F.col("u") != F.col("v"))
+    mins = hi_lo.groupBy("u").agg(F.min("v").alias("mn"))
+    to_min = (hi_lo.join(mins, on="u")
+              .select(F.col("v").alias("u"), F.col("mn").alias("v")))
+    self_to_min = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return (to_min.unionByName(self_to_min)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame,
-                         max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_CC_ROUNDS,
+                         return_rounds: bool = False):
     """(node, component) with component = min node id in the component.
 
-    Alternating large-star/small-star over an undirected edge list;
-    converges in O(log n) rounds. Driver loop with localCheckpoint to
-    cut lineage (same pattern as path closure / shape fixpoints)."""
+    Alternating large-star/small-star edge contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond' — public algorithm):
+    converges in O(log n) rounds REGARDLESS of component diameter, so a
+    mention chain A~B~C~… (the skew-linked shape naive min-label
+    propagation walks one hop per round) finishes logarithmically.
+    Driver loop with localCheckpoint per round to cut lineage.
+
+    ``return_rounds=True`` additionally returns the number of
+    large+small star rounds executed (for convergence tests)."""
     v = vertices.select(F.col(vertices.columns[0]).alias("node")).distinct()
-    # labels start as self
-    labels = v.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
-    und = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-           .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
-           .distinct().localCheckpoint(eager=True))
-    if und.isEmpty():
-        return labels
+    e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    rounds = 0
+    if e.isEmpty():
+        labels = v.select("node", F.col("node").alias("comp"))
+        return (labels, rounds) if return_rounds else labels
+    # order-independent edge-set fingerprint: one tiny agg per round
+    # (ANSI-safe bit_xor, no overflow) — convergence = fingerprint+count
+    # stable across a large-star/small-star pair.
+    def _fp(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x")).collect()[0]
+        return (row["n"], row["x"])
+
+    prev = _fp(e)
     for _ in range(max_rounds):
-        # propagate: comp(x) = min(comp(x), min over neighbors comp(y))
-        lx = labels.withColumnRenamed("node", "x").withColumnRenamed("comp", "cx")
-        ly = labels.withColumnRenamed("node", "y").withColumnRenamed("comp", "cy")
-        prop = (und.join(lx, on="x").join(ly, on="y")
-                .groupBy("x", "cx").agg(F.min("cy").alias("min_cy"))
-                .select(F.col("x").alias("node"),
-                        F.least(F.col("cx"), F.col("min_cy")).alias("new_comp")))
-        new_labels = (labels.join(prop, on="node", how="left")
-                      .select("node",
-                              F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp"))).alias("comp"))
-                      ).localCheckpoint(eager=True)
-        stable = (new_labels.alias("n")
-                  .join(labels.alias("o"), on="node")
-                  .filter(F.col("n.comp") != F.col("o.comp"))
-                  .limit(1).isEmpty())
-        labels = new_labels
-        if stable:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _fp(e)
+        if cur == prev:
             break
-    return labels
+        prev = cur
+    # at convergence the edge set is a union of stars rooted at each
+    # component's min: every non-root points directly at the root.
+    roots = e.groupBy("u").agg(F.min("v").alias("comp")) \
+        .select(F.col("u").alias("node"), "comp")
+    labels = (v.join(roots, on="node", how="left")
+              .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")))
+    return (labels, rounds) if return_rounds else labels
 
 
 def canonicalize_triples(triples: DataFrame,
@@ -150,11 +224,16 @@ def canonicalize_triples(triples: DataFrame,
     obj_m = triples.filter((F.col("obj_kind") == "iri")
                            & F.col("obj_value").startswith(mention_prefix)) \
         .select(F.col("obj_value").substr(F.lit(mlen + 1), F.lit(10_000)).alias("mention"))
-    # distinct mentions are a tiny dimension (≪ triples); collapse to a
-    # few partitions so the LSH/CC driver loops schedule small task
-    # sets instead of full-width shuffles per round.
-    mentions = subj_m.unionByName(obj_m).distinct() \
-        .repartition(4).localCheckpoint(eager=True)
+    # distinct mentions are a dimension ≪ triples but NOT driver-sized
+    # at 100 TB: size the partition count from the observed mention
+    # count (≈100k mentions/partition) instead of a hardcoded collapse
+    # that would serialize the whole linking stage on a big corpus.
+    mentions = subj_m.unionByName(obj_m).distinct().localCheckpoint(eager=True)
+    n_mentions = mentions.count()
+    n_parts = max(1, min(int(n_mentions / 100_000) + 1,
+                         mentions.sparkSession.sparkContext.defaultParallelism * 4))
+    if n_parts < mentions.rdd.getNumPartitions():
+        mentions = mentions.coalesce(n_parts).localCheckpoint(eager=True)
 
     pairs = candidate_pairs(mentions)
     edges = jaccard_verify(pairs, threshold)
@@ -164,10 +243,13 @@ def canonicalize_triples(triples: DataFrame,
         F.concat(F.lit(entity_prefix), F.col("comp")).alias("canonical_iri"),
     ).localCheckpoint(eager=True)
 
-    m1 = F.broadcast(mapping.withColumnRenamed("mention_iri", "subj")
-                     .withColumnRenamed("canonical_iri", "subj_canon"))
-    m2 = F.broadcast(mapping.withColumnRenamed("mention_iri", "obj_value")
-                     .withColumnRenamed("canonical_iri", "obj_canon"))
+    # no forced broadcast: the mapping is mention-sized (can be huge at
+    # 100 TB); AQE broadcasts it automatically whenever it actually
+    # fits, and falls back to a shuffle join when it doesn't.
+    m1 = (mapping.withColumnRenamed("mention_iri", "subj")
+          .withColumnRenamed("canonical_iri", "subj_canon"))
+    m2 = (mapping.withColumnRenamed("mention_iri", "obj_value")
+          .withColumnRenamed("canonical_iri", "obj_canon"))
     out = (triples
            .join(m1, on="subj", how="left")
            .join(m2, on="obj_value", how="left")

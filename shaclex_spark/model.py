@@ -55,13 +55,73 @@ XSD_DATE = XSD + "date"
 RDF_LANGSTRING = RDF + "langString"
 RDF_TYPE = RDF + "type"
 
+# The XSD integer-derivation family (all share the integer lexical
+# space modulo sign restrictions).
+INTEGER_DATATYPES = frozenset(
+    {XSD_INTEGER} | {XSD + t for t in (
+        "long", "int", "short", "byte",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+        "nonNegativeInteger", "positiveInteger",
+        "nonPositiveInteger", "negativeInteger")}
+)
+
 # Datatypes that compare numerically (for min/maxInclusive/Exclusive);
 # see typed-comparison requirement in SURVEY.md §1.2.
 NUMERIC_DATATYPES = frozenset(
-    {XSD_INTEGER, XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE, XSD + "long", XSD + "int",
-     XSD + "short", XSD + "byte", XSD + "nonNegativeInteger", XSD + "positiveInteger"}
+    {XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE} | INTEGER_DATATYPES
 )
 TEMPORAL_DATATYPES = frozenset({XSD_DATETIME, XSD_DATE})
+
+# Lexical-form regexes per XSD datatype (anchored), for the
+# well-formedness check: an ill-formed typed literal violates
+# sh:datatype / ShEx datatype constraints (suite trait
+# sht:ValidLexicalForm — e.g. "1E0" is a valid double but an INVALID
+# integer/decimal; INF/NaN only exist for float/double).
+# Value ranges of the bounded integer types: a lexically-valid but
+# out-of-range literal (e.g. "32768"^^xsd:short) is ill-formed
+# (suite entries short-32768_fail, byte-128_fail, ...).
+INTEGER_RANGES: dict[str, tuple[int, int]] = {
+    XSD + "long": (-(2 ** 63), 2 ** 63 - 1),
+    XSD + "int": (-(2 ** 31), 2 ** 31 - 1),
+    XSD + "short": (-32768, 32767),
+    XSD + "byte": (-128, 127),
+    XSD + "unsignedLong": (0, 2 ** 64 - 1),
+    XSD + "unsignedInt": (0, 2 ** 32 - 1),
+    XSD + "unsignedShort": (0, 65535),
+    XSD + "unsignedByte": (0, 255),
+}
+
+_DEC = r"[+-]?(\d+(\.\d*)?|\.\d+)"
+# XSD 1.0 float/double: INF and -INF only ('+INF' is invalid — suite
+# entries float-pINF_fail / double-pINF_fail).
+_FLT = rf"({_DEC}([eE][+-]?\d+)?|-?INF|NaN)"
+_TZ = r"(Z|[+-](0\d|1[0-3]):[0-5]\d|[+-]14:00)"
+_DATE = r"-?\d{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_TIME = r"(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|24:00:00(\.0+)?)"
+LEXICAL_FORMS: dict[str, str] = {
+    XSD_INTEGER: r"[+-]?\d+",
+    XSD + "long": r"[+-]?\d+",
+    XSD + "int": r"[+-]?\d+",
+    XSD + "short": r"[+-]?\d+",
+    XSD + "byte": r"[+-]?\d+",
+    XSD + "unsignedLong": r"\+?\d+",
+    XSD + "unsignedInt": r"\+?\d+",
+    XSD + "unsignedShort": r"\+?\d+",
+    XSD + "unsignedByte": r"\+?\d+",
+    XSD + "nonNegativeInteger": r"(\+?\d+|-0+)",
+    XSD + "positiveInteger": r"\+?0*[1-9]\d*",
+    XSD + "nonPositiveInteger": r"(-\d+|\+?0+)",
+    XSD + "negativeInteger": r"-0*[1-9]\d*",
+    XSD_DECIMAL: _DEC,
+    XSD_FLOAT: _FLT,
+    XSD_DOUBLE: _FLT,
+    XSD_BOOLEAN: r"(true|false|1|0)",
+    XSD_DATETIME: rf"{_DATE}T{_TIME}{_TZ}?",
+    XSD_DATE: rf"{_DATE}{_TZ}?",
+    XSD + "time": rf"{_TIME}{_TZ}?",
+    XSD + "gYear": rf"-?\d{{4,}}{_TZ}?",
+    XSD + "gYearMonth": rf"-?\d{{4,}}-(0[1-9]|1[0-2]){_TZ}?",
+}
 
 # --------------------------------------------------------------- schemas
 TRIPLES_SCHEMA = T.StructType(

@@ -163,19 +163,33 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                 bucket_col().isin(dirty_list) if dirty_list else F.lit(False))
     triples, mapping = build_kg(spark, transcripts)
     triples = triples.withColumn("bucket", bucket_col())
-    result = validate_kg(spark, triples, shapes_json)
-    out = {
-        "triples": triples,
-        "mapping": mapping,
-        "conformance": result.conformance,
-        "report": result.report,
-        "lineage": lineage_metrics(triples),
-        "n_buckets_skipped": n_skipped,
-    }
     if output_dir:
+        # triples land FIRST (dynamic partition overwrite touches only
+        # dirty buckets); validation + lineage then run over the FULL
+        # on-disk table, so on resume the conformance/report/lineage of
+        # CLEAN buckets is regenerated from their untouched triples
+        # instead of being clobbered by dirty-only output. Validation
+        # is whole-graph by nature (cross-bucket shape refs), so this
+        # is also the semantically correct scope.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         triples.write.mode("overwrite").partitionBy("bucket") \
             .parquet(os.path.join(output_dir, "triples"))
+        all_triples = spark.read.parquet(os.path.join(output_dir, "triples"))
+        result = validate_kg(spark, all_triples, shapes_json)
+        lineage = lineage_metrics(all_triples)
+    else:
+        all_triples = triples
+        result = validate_kg(spark, triples, shapes_json)
+        lineage = lineage_metrics(triples)
+    out = {
+        "triples": all_triples,
+        "mapping": mapping,
+        "conformance": result.conformance,
+        "report": result.report,
+        "lineage": lineage,
+        "n_buckets_skipped": n_skipped,
+    }
+    if output_dir:
         result.conformance.write.mode("overwrite") \
             .parquet(os.path.join(output_dir, "conformance"))
         result.report.write.mode("overwrite") \

@@ -37,14 +37,36 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# live caches of the most recent _validate call: the result DataFrames
+# are consumed lazily AFTER the registry entry returns, so we can't
+# unpersist inside the call — instead each new query releases the
+# previous one's caches so a long session holds at most one query's
+# worth of cached blocks.
+_LIVE_CACHES: list = []
+
+
+def _release_previous_caches() -> None:
+    while _LIVE_CACHES:
+        obj = _LIVE_CACHES.pop()
+        try:
+            if isinstance(obj, ValidationEngine):
+                obj.unpersist_all()
+            else:
+                obj.unpersist()
+        except Exception:
+            pass
+
+
 def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
               with_report: bool = False):
+    _release_previous_caches()
     # persist: the demo KG is a 14-way union re-read by focus selection,
     # candidate propagation and every constraint join — materialize once.
     triples = kg_triples(spark, sf_dir).persist()
     schema = SchemaDict.from_json(shapes)
     engine = ValidationEngine(spark, schema, triples)
     focus = target_focus(spark, schema, triples)
+    _LIVE_CACHES.extend([triples, engine])
     return engine.validate(focus)
 
 
@@ -344,4 +366,29 @@ FROM agg
 def kg_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _validate(spark, sf_dir, ORDER_REGION)
     return res.conformance
+# ---------------------------------------------------------------------------
+# 7. W3C ShEx validation suite scorecard (SURVEY.md §5: the reference's
+#    own 1088-entry corpus, ShExTestRunner.scala:16-34). The oracle is a
+#    CONSTANT relation — the committed scorecard; any semantic
+#    regression in the ShExJ reader / engine flips a count and fails
+#    the hash comparison. wrong/error MUST stay 0.
+# ---------------------------------------------------------------------------
+
+
+@query("shex_suite_scorecard", oracle="""
+SELECT * FROM (VALUES
+  ('correct', CAST(1005 AS BIGINT)),
+  ('wrong',   CAST(0 AS BIGINT)),
+  ('error',   CAST(0 AS BIGINT)),
+  ('skipped', CAST(83 AS BIGINT))
+) AS t(status, n)
+""")
+def shex_suite_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shex_suite import run_suite_mp, scorecard
+
+    sc = scorecard(run_suite_mp(nproc=10))
+    rows = [(k, sc[k]) for k in ("correct", "wrong", "error", "skipped")]
+    return spark.createDataFrame(rows, "status string, n long")
+
+
 from . import queries_data  # noqa: E402,F401  (registers data-pipeline queries)

@@ -91,7 +91,11 @@ def parse_path(spec: Any) -> Path:
 # (kind, value, dt, lang) columns — no joins needed.
 EXPR_KINDS = {"true", "false", "datatype", "nodeKind", "in", "hasValue",
               "pattern", "minLength", "maxLength", "minInclusive",
-              "maxInclusive", "minExclusive", "maxExclusive", "languageIn"}
+              "maxInclusive", "minExclusive", "maxExclusive", "languageIn",
+              # ShEx string/numeric facets beyond the SHACL-core set
+              # (ShExJ NodeConstraint keys totaldigits/fractiondigits —
+              # /root/reference/src/test/resources/shexTest/schemas/*.json)
+              "totalDigits", "fractionDigits"}
 # join-backed kinds: need class-membership / shape-conformance relations.
 JOIN_KINDS = {"class", "ref"}
 # combinators: "and"/"or"/"xone"/"not" are the SHACL logical
@@ -110,7 +114,8 @@ class ValueSpec:
     or a stem (prefix) match — iriStem / languageStem, the ShEx stem
     forms surfaced by schema inference (InferredShape.scala:127-147)."""
 
-    kind: str  # iri | bnode | literal | iriStem | languageStem
+    kind: str  # iri | bnode | literal | iriStem | literalStem
+    #            | languageStem | language
     value: str
     dt: Optional[str] = None
     lang: Optional[str] = None
@@ -150,6 +155,10 @@ class NodeExpr:
     langs: tuple[str, ...] = ()
     values: tuple[ValueSpec, ...] = ()
     exprs: tuple["NodeExpr", ...] = ()
+    # ShEx string-facet semantics: pattern/length facets apply to the
+    # bnode LABEL too (suite 1focusBNODELength_dot_pass), whereas SHACL
+    # treats a bnode value as a violation of those components.
+    shex: bool = False
 
     def __post_init__(self) -> None:
         if self.kind not in NODE_EXPR_KINDS:
@@ -205,9 +214,11 @@ def parse_node_expr(spec: Any) -> NodeExpr:
     if kind == "hasValue":
         return NodeExpr(kind, values=(parse_value(spec["value"]),))
     if kind == "pattern":
-        return NodeExpr(kind, pattern=spec["pattern"], flags=spec.get("flags"))
-    if kind in ("minLength", "maxLength"):
-        return NodeExpr(kind, num=int(spec["value"]))
+        return NodeExpr(kind, pattern=spec["pattern"], flags=spec.get("flags"),
+                        shex=bool(spec.get("shex", False)))
+    if kind in ("minLength", "maxLength", "totalDigits", "fractionDigits"):
+        return NodeExpr(kind, num=int(spec["value"]),
+                        shex=bool(spec.get("shex", False)))
     if kind in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
         return NodeExpr(kind, value=str(spec["value"]), dt=spec.get("dt"))
     if kind == "languageIn":

@@ -1,0 +1,399 @@
+"""ShExJ (JSON AST) schema reader → SchemaDict.
+
+The reference accepts ShExC and ShExJ interchangeably
+(/root/reference/modules/schema/src/main/scala/es/weso/schema/
+ShExSchema.scala:29-41); the vendored suite ships a .json AST next to
+almost every .shex schema
+(/root/reference/src/test/resources/shexTest/schemas/*.json), and the
+JSON form sidesteps ShExC tokenizer edge cases entirely.
+
+Spec-faithful fragment mapping (vs the SLang compilation in shexc.py):
+
+- Shape { expression } is OPEN over unmentioned predicates (the ShEx
+  spec's neighbourhood-partition semantics only constrains arcs whose
+  predicate is mentioned); ``"closed": true`` adds the residue check.
+- TripleConstraint → PropertyConstraint(exclusive=True): conforming
+  count within [min,max] AND zero non-conforming arcs on that
+  predicate (ShEx2SLang.scala:103-113). A predicate listed in EXTRA
+  relaxes to qualified=True (non-conforming arcs allowed).
+- EachOf → constraint list (nested EachOfs flatten); OneOf → the
+  shape's one_of groups; a TC valueExpr that is itself a Shape /
+  logical combination of Shapes becomes a synthetic referenced shape.
+
+Out-of-fragment constructs raise :class:`UnsupportedShExJ` with the
+feature name so the suite runner can classify skips honestly:
+imports, external shapes, semantic actions with code, group
+(EachOf/OneOf) cardinalities, and repeated predicates inside one
+expression (which require the spec's partition-matching semantics).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .shapes import SchemaDict
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_KIND_MAP = {"iri": "IRI", "bnode": "BlankNode", "literal": "Literal",
+             "nonliteral": "BlankNodeOrIRI"}
+
+_FACET_KEYS = {"length", "minlength", "maxlength", "pattern", "flags",
+               "mininclusive", "maxinclusive", "minexclusive",
+               "maxexclusive", "totaldigits", "fractiondigits"}
+
+
+class UnsupportedShExJ(ValueError):
+    def __init__(self, feature: str):
+        super().__init__(feature)
+        self.feature = feature
+
+
+class _Conv:
+    def __init__(self) -> None:
+        self.specs: dict[str, dict] = {}
+        self.labels_declared: set[str] = set()
+        self._n = 0
+
+    def _fresh(self) -> str:
+        self._n += 1
+        return f"_synth:{self._n}"
+
+    # ---------------------------------------------------------- schema
+
+    def convert(self, j: dict) -> tuple[list[dict], str | None]:
+        if j.get("imports"):
+            raise UnsupportedShExJ("imports")
+        if j.get("startActs"):
+            for act in j["startActs"]:
+                if act.get("code") is not None:
+                    raise UnsupportedShExJ("startActs")
+        for sh in j.get("shapes", []):
+            self.labels_declared.add(sh["id"])
+        start_label = None
+        for sh in j.get("shapes", []):
+            decl = dict(sh)
+            label = decl.pop("id")
+            self.shape_decl(decl, label)
+        start = j.get("start")
+        if start is not None:
+            if isinstance(start, str):
+                start_label = start
+            else:
+                start_label = self._fresh()
+                self.shape_decl(start, start_label)
+        return list(self.specs.values()), start_label
+
+    # ----------------------------------------------------- shape exprs
+
+    def shape_decl(self, expr: Any, label: str) -> str:
+        """Register shapeExpr ``expr`` as a shape named ``label``."""
+        spec: dict = {"label": label, "constraints": [], "closed": False,
+                      "extra": []}
+        self.specs[label] = spec
+        self._fill(spec, expr)
+        return label
+
+    def _fill(self, spec: dict, expr: Any) -> None:
+        t = expr.get("type") if isinstance(expr, dict) else None
+        if isinstance(expr, str):
+            self._ensure_ref(expr)
+            spec.setdefault("nodeConstraints", []).append(
+                {"kind": "ref", "label": expr})
+            return
+        if t == "NodeConstraint":
+            spec.setdefault("nodeConstraints", []).append(
+                self.node_constraint(expr))
+            return
+        if t == "Shape":
+            self._fill_shape(spec, expr)
+            return
+        if t == "ShapeAnd":
+            shape_members = [m for m in expr["shapeExprs"]
+                             if isinstance(m, dict) and m.get("type") == "Shape"]
+            others = [m for m in expr["shapeExprs"]
+                      if not (isinstance(m, dict) and m.get("type") == "Shape")]
+            if len(shape_members) > 1:
+                raise UnsupportedShExJ("ShapeAnd-multiple-triple-exprs")
+            for m in shape_members:
+                self._fill_shape(spec, m)
+            for m in others:
+                spec.setdefault("nodeConstraints", []).append(
+                    self.node_expr(m))
+            return
+        if t == "ShapeOr":
+            spec.setdefault("nodeConstraints", []).append({
+                "kind": "or",
+                "exprs": [self.node_expr(m) for m in expr["shapeExprs"]],
+            })
+            return
+        if t == "ShapeNot":
+            spec.setdefault("nodeConstraints", []).append(
+                {"kind": "not", "expr": self.node_expr(expr["shapeExpr"])})
+            return
+        if t == "ShapeExternal":
+            raise UnsupportedShExJ("ShapeExternal")
+        raise UnsupportedShExJ(f"shapeExpr-{t}")
+
+    def _fill_shape(self, spec: dict, sh: dict) -> None:
+        if spec.get("_has_triple_expr"):
+            raise UnsupportedShExJ("multiple-triple-exprs")
+        spec["_has_triple_expr"] = True
+        for act in sh.get("semActs", []) or []:
+            if act.get("code") is not None:
+                raise UnsupportedShExJ("semActs")
+        spec["closed"] = bool(sh.get("closed", False))
+        extra = list(sh.get("extra", []) or [])
+        spec["extra"] = extra
+        constraints: list[dict] = []
+        one_of: list[list[dict]] = []
+        expr = sh.get("expression")
+        if expr is not None:
+            self._triple_expr(expr, constraints, one_of, extra)
+        spec["constraints"] = constraints
+        if one_of:
+            spec["oneOf"] = one_of
+        self._check_repeats(spec)
+
+    def _check_repeats(self, spec: dict) -> None:
+        """Repeated predicates inside one expression need the spec's
+        partition-matching (each arc consumed by exactly one TC slot) —
+        outside the flat fragment the engine's independent two-count
+        evaluation implements. Alternatives of a OneOf don't interact,
+        so repeats ACROSS groups are fine; repeats within a group, or
+        between the EachOf constraints and any group, are not."""
+
+        def keys(cs: list[dict]) -> list[tuple]:
+            out = []
+            for c in cs:
+                p = c["path"]
+                out.append((p["kind"], p["iri"]) if isinstance(p, dict)
+                           else ("pred", p))
+            return out
+
+        base = keys(spec.get("constraints", []))
+        if len(base) != len(set(base)):
+            raise UnsupportedShExJ("repeated-predicate")
+        for group in spec.get("oneOf", []):
+            gk = keys(group)
+            if len(gk) != len(set(gk)) or set(gk) & set(base):
+                raise UnsupportedShExJ("repeated-predicate")
+
+    # ----------------------------------------------------- triple exprs
+
+    def _triple_expr(self, expr: Any, constraints: list[dict],
+                     one_of: list[list[dict]], extra: list[str]) -> None:
+        if isinstance(expr, str):  # tripleExprRef
+            raise UnsupportedShExJ("tripleExprRef")
+        t = expr.get("type")
+        if t == "TripleConstraint":
+            constraints.append(self.triple_constraint(expr, extra))
+            return
+        if t == "EachOf":
+            if expr.get("min") is not None or expr.get("max") is not None:
+                raise UnsupportedShExJ("group-cardinality")
+            for sub in expr["expressions"]:
+                self._triple_expr(sub, constraints, one_of, extra)
+            return
+        if t == "OneOf":
+            if expr.get("min") is not None or expr.get("max") is not None:
+                raise UnsupportedShExJ("group-cardinality")
+            if one_of:
+                raise UnsupportedShExJ("multiple-oneofs")
+            for alt in expr["expressions"]:
+                alt_cs: list[dict] = []
+                alt_groups: list[list[dict]] = []
+                self._triple_expr(alt, alt_cs, alt_groups, extra)
+                if alt_groups:
+                    raise UnsupportedShExJ("nested-oneof")
+                one_of.append(alt_cs)
+            return
+        raise UnsupportedShExJ(f"tripleExpr-{t}")
+
+    def triple_constraint(self, tc: dict, extra: list[str]) -> dict:
+        for act in tc.get("semActs", []) or []:
+            if act.get("code") is not None:
+                raise UnsupportedShExJ("semActs")
+        pred = tc["predicate"]
+        mn = tc.get("min", 1)
+        mx = tc.get("max", 1)
+        out: dict = {
+            "path": ({"kind": "inverse", "iri": pred}
+                     if tc.get("inverse") else pred),
+            "minCount": mn,
+            "maxCount": None if mx == -1 else mx,
+            "node": self.node_expr(tc.get("valueExpr")),
+        }
+        if not tc.get("inverse") and pred in extra:
+            out["qualified"] = True  # EXTRA: surplus non-matching arcs OK
+        else:
+            out["exclusive"] = True  # two-count TC semantics
+        return out
+
+    # ------------------------------------------------------- node exprs
+
+    def _ensure_ref(self, label: str) -> None:
+        if label not in self.labels_declared and label not in self.specs:
+            raise UnsupportedShExJ("dangling-ref")
+
+    def node_expr(self, expr: Any) -> dict:
+        """shapeExpr in VALUE position → NodeExpr JSON spec."""
+        if expr is None:
+            return {"kind": "true"}
+        if isinstance(expr, str):
+            self._ensure_ref(expr)
+            return {"kind": "ref", "label": expr}
+        t = expr.get("type")
+        if t == "NodeConstraint":
+            return self.node_constraint(expr)
+        if t == "Shape":
+            label = self._fresh()
+            self.shape_decl(expr, label)
+            return {"kind": "ref", "label": label}
+        if t == "ShapeAnd":
+            return {"kind": "and",
+                    "exprs": [self.node_expr(m) for m in expr["shapeExprs"]]}
+        if t == "ShapeOr":
+            return {"kind": "or",
+                    "exprs": [self.node_expr(m) for m in expr["shapeExprs"]]}
+        if t == "ShapeNot":
+            return {"kind": "not", "expr": self.node_expr(expr["shapeExpr"])}
+        raise UnsupportedShExJ(f"valueExpr-{t}")
+
+    def node_constraint(self, nc: dict) -> dict:
+        conjs: list[dict] = []
+        if "nodeKind" in nc:
+            conjs.append({"kind": "nodeKind", "value": _KIND_MAP[nc["nodeKind"]]})
+        if "datatype" in nc:
+            conjs.append({"kind": "datatype", "iri": nc["datatype"]})
+        if "values" in nc:
+            conjs.append(self.value_set(nc["values"]))
+        if "pattern" in nc:
+            conjs.append({"kind": "pattern", "pattern": nc["pattern"],
+                          "flags": nc.get("flags"), "shex": True})
+        if "length" in nc:
+            conjs.append({"kind": "minLength", "value": nc["length"],
+                          "shex": True})
+            conjs.append({"kind": "maxLength", "value": nc["length"],
+                          "shex": True})
+        if "minlength" in nc:
+            conjs.append({"kind": "minLength", "value": nc["minlength"],
+                          "shex": True})
+        if "maxlength" in nc:
+            conjs.append({"kind": "maxLength", "value": nc["maxlength"],
+                          "shex": True})
+        for key, kind in (("mininclusive", "minInclusive"),
+                          ("maxinclusive", "maxInclusive"),
+                          ("minexclusive", "minExclusive"),
+                          ("maxexclusive", "maxExclusive")):
+            if key in nc:
+                conjs.append({"kind": kind, "value": _num_str(nc[key])})
+        if "totaldigits" in nc:
+            conjs.append({"kind": "totalDigits", "value": nc["totaldigits"]})
+        if "fractiondigits" in nc:
+            conjs.append({"kind": "fractionDigits",
+                          "value": nc["fractiondigits"]})
+        if not conjs:
+            return {"kind": "true"}
+        if len(conjs) == 1:
+            return conjs[0]
+        return {"kind": "and", "exprs": conjs}
+
+    def value_set(self, values: list) -> dict:
+        """valueSetValue list → disjunction. Simple members fold into
+        one 'in'; stem ranges compile to stem-minus-exclusions exprs."""
+        plain: list[dict] = []
+        complex_exprs: list[dict] = []
+        for v in values:
+            if isinstance(v, str):
+                plain.append({"kind": "iri", "value": v})
+                continue
+            t = v.get("type")
+            if t is None:  # objectValue literal
+                m: dict = {"kind": "literal", "value": str(v["value"])}
+                if v.get("language"):
+                    m["lang"] = v["language"]
+                plain.append(m)
+            elif t == "Language":
+                plain.append({"kind": "language",
+                              "value": v["languageTag"]})
+            elif t == "IriStem":
+                plain.append({"kind": "iriStem", "value": v["stem"]})
+            elif t == "LiteralStem":
+                plain.append({"kind": "literalStem", "value": v["stem"]})
+            elif t == "LanguageStem":
+                plain.append({"kind": "languageStem", "value": v["stem"]})
+            elif t in ("IriStemRange", "LiteralStemRange",
+                       "LanguageStemRange"):
+                complex_exprs.append(self._stem_range(t, v))
+            else:
+                # typed objectValue: {"value": ..., "type": dt-iri}
+                plain.append({"kind": "literal", "value": str(v["value"]),
+                              "dt": t})
+        exprs: list[dict] = []
+        if plain:
+            exprs.append({"kind": "in", "values": plain})
+        exprs.extend(complex_exprs)
+        if len(exprs) == 1:
+            return exprs[0]
+        return {"kind": "or", "exprs": exprs}
+
+    def _stem_range(self, t: str, v: dict) -> dict:
+        stem = v["stem"]
+        kind_for = {"IriStemRange": ("iriStem", "IRI"),
+                    "LiteralStemRange": ("literalStem", "Literal"),
+                    "LanguageStemRange": ("languageStem", None)}
+        stem_kind, wildcard_nk = kind_for[t]
+        if isinstance(stem, dict):  # Wildcard
+            if t == "LanguageStemRange":
+                # any language-tagged literal
+                base: dict = {"kind": "languageStem", "value": ""}
+            else:
+                base = {"kind": "nodeKind", "value": wildcard_nk}
+        else:
+            base = {"kind": "in",
+                    "values": [{"kind": stem_kind, "value": stem}]}
+        excl_members: list[dict] = []
+        for ex in v.get("exclusions", []) or []:
+            if isinstance(ex, str):
+                if t == "LanguageStemRange":
+                    excl_members.append({"kind": "language", "value": ex})
+                elif t == "LiteralStemRange":
+                    excl_members.append({"kind": "literal", "value": ex})
+                else:
+                    excl_members.append({"kind": "iri", "value": ex})
+            else:
+                ext = ex.get("type", "")
+                sk = {"IriStem": "iriStem", "LiteralStem": "literalStem",
+                      "LanguageStem": "languageStem"}.get(ext)
+                if sk is None:
+                    raise UnsupportedShExJ(f"exclusion-{ext}")
+                excl_members.append({"kind": sk, "value": ex["stem"]})
+        if not excl_members:
+            return base
+        return {"kind": "and", "exprs": [
+            base,
+            {"kind": "not", "expr": {"kind": "in", "values": excl_members}},
+        ]}
+
+
+def _num_str(x: Any) -> str:
+    """JSON number → lexical string without float artifacts."""
+    if isinstance(x, bool):
+        return str(x).lower()
+    if isinstance(x, int):
+        return str(x)
+    if isinstance(x, float) and x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def parse_shexj(text_or_obj: str | dict) -> tuple[SchemaDict, str | None]:
+    """ShExJ document → (SchemaDict, start shape label or None)."""
+    j = json.loads(text_or_obj) if isinstance(text_or_obj, str) else text_or_obj
+    conv = _Conv()
+    specs, start = conv.convert(j)
+    for s in specs:
+        s.pop("_has_triple_expr", None)
+    return SchemaDict.from_json(specs), start

@@ -34,14 +34,36 @@ _TOK = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
-  | (?P<string>"""  r'"""(?:[^"\\]|\\.|"(?!""))*"""|"(?:[^"\\]|\\.)*"'  r""")
+  | (?P<string>"""
+    r'"""(?:[^"\\]|\\.|"(?!""))*"""|"(?:[^"\\\n]|\\.)*"'
+    r"|'''(?:[^'\\]|\\.|'(?!''))*'''|'(?:[^'\\\n]|\\.)*'"
+    r""")
     (?P<strsuffix>@[A-Za-z][A-Za-z0-9-]*|\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]*))?
-  | (?P<num>[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+|[+-]?\d+)
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+|[+-]?\d+)
   | (?P<bnode>_:[A-Za-z0-9_.-]+)
   | (?P<pname>[A-Za-z_][\w.-]*:[\w.-]*|:[\w.-]*|[A-Za-z_][\w-]*:)
   | (?P<keyword>@?[A-Za-z][A-Za-z]*)
   | (?P<punct>[;,.\[\]()])
 """, re.VERBOSE)
+
+_ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+_ESC_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)")
+
+
+def unescape(raw: str) -> str:
+    """Turtle/N-Triples string unescape incl. \\uXXXX and \\UXXXXXXXX
+    (OutsideBMP-safe — one pass, no double-unescape)."""
+
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] in "uU":
+            return chr(int(e[1:], 16))
+        if e in _ESCAPES:
+            return _ESCAPES[e]
+        raise TurtleError(f"bad escape \\{e}")
+
+    return _ESC_RE.sub(sub, raw)
 
 
 def _tokenize(text: str):
@@ -173,7 +195,7 @@ class TurtleParser:
     def _parse_term(self, subject: bool) -> Term:
         kind, val, suffix = self._next()
         if kind == "iri":
-            iri = val[1:-1]
+            iri = unescape(val[1:-1])
             if self.base and not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", iri):
                 iri = self.base + iri
             return ("iri", iri, None, None)
@@ -184,9 +206,9 @@ class TurtleParser:
         if val == "a" and not subject:
             raise TurtleError("'a' only valid as predicate")
         if kind == "string":
-            raw = val[3:-3] if val.startswith('"""') else val[1:-1]
-            lex = raw.replace('\\"', '"').replace("\\\\", "\\") \
-                .replace("\\n", "\n").replace("\\t", "\t")
+            raw = (val[3:-3] if val.startswith(('"""', "'''"))
+                   else val[1:-1])
+            lex = unescape(raw)
             if suffix and suffix.startswith("@"):
                 return ("literal", lex, RDF_LANGSTRING, suffix[1:])
             if suffix and suffix.startswith("^^"):

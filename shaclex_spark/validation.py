@@ -103,18 +103,25 @@ class TermCols:
 def _well_formed(dt_iri: str, value: Column) -> Column:
     """Literal well-formedness vs datatype: ill-formed ⇒ violation, not
     skip (SURVEY.md §7.3 'typed literal comparison'; exercised by
-    shacl/tests/core/node/datatype-001.ttl ill-typed literal)."""
-    if dt_iri == XSD_INTEGER or dt_iri.endswith(("#long", "#int", "#short", "#byte")):
-        return value.rlike(r"^[+-]?\d+$")
-    if dt_iri in NUMERIC_DATATYPES:
-        return value.try_cast("double").isNotNull()
-    if dt_iri == XSD_BOOLEAN:
-        return value.isin("true", "false", "0", "1")
-    if dt_iri == XSD_DATETIME:
-        return value.try_cast("timestamp").isNotNull()
-    if dt_iri == XSD_DATE:
-        return value.rlike(r"^-?\d{4}-\d{2}-\d{2}")
-    return F.lit(True)
+    shacl/tests/core/node/datatype-001.ttl and the ShEx suite's
+    sht:ValidLexicalForm entries — e.g. '1E0' is a valid double but an
+    invalid integer/decimal). Anchored per-datatype regexes from
+    model.LEXICAL_FORMS; unknown datatypes are unconstrained."""
+    from .model import INTEGER_RANGES, LEXICAL_FORMS
+
+    pat = LEXICAL_FORMS.get(dt_iri)
+    if pat is None:
+        return F.lit(True)
+    ok = value.rlike(f"^({pat})$")
+    rng = INTEGER_RANGES.get(dt_iri)
+    if rng is not None:
+        # lexically valid but out of the bounded type's value space ⇒
+        # ill-formed ("32768"^^xsd:short). decimal(38,0) covers 2^64.
+        dec = value.try_cast("decimal(38,0)")
+        lo = F.lit(str(rng[0])).cast("decimal(38,0)")
+        hi = F.lit(str(rng[1])).cast("decimal(38,0)")
+        ok = ok & dec.isNotNull() & (dec >= lo) & (dec <= hi)
+    return ok
 
 
 def _numeric_value(tc: TermCols) -> Column:
@@ -133,6 +140,13 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
     try:
         bound = F.lit(float(lit_raw))
         val = _numeric_value(tc)
+        # value comparison is defined on numeric datatypes only: a
+        # castable-but-non-numeric literal (e.g. "5"^^xsd:string) is a
+        # type error ⇒ violation (SPARQL '<' semantics / ShEx numeric
+        # facets). NULL dt never compares.
+        tz_guard = F.coalesce(
+            tc.dt.isin(list(NUMERIC_DATATYPES | TEMPORAL_DATATYPES)),
+            F.lit(False))
     except ValueError:
         # temporal bound. XSD dateTime ordering between zoned and
         # unzoned values is indeterminate ⇒ violation (W3C
@@ -142,7 +156,9 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
         bound = F.lit(lit_raw).cast("timestamp").cast("double")
         val = tc.value.try_cast("timestamp").cast("double")
         bound_has_tz = bool(_re.search(r"(Z|[+-]\d\d:\d\d)$", lit_raw))
-        tz_guard = tc.value.rlike(_TZ_RE) == F.lit(bound_has_tz)
+        tz_guard = ((tc.value.rlike(_TZ_RE) == F.lit(bound_has_tz))
+                    & F.coalesce(tc.dt.isin(list(TEMPORAL_DATATYPES)),
+                                 F.lit(False)))
     cmp = {
         "minInclusive": val >= bound,
         "maxInclusive": val <= bound,
@@ -156,8 +172,18 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
 def _value_match(v: ValueSpec, tc: TermCols) -> Column:
     if v.kind == "iriStem":
         return (tc.kind == "iri") & tc.value.startswith(v.value)
+    if v.kind == "literalStem":
+        return (tc.kind == "literal") & tc.value.startswith(v.value)
+    if v.kind == "language":
+        # ShExJ Language member: matches any literal carrying exactly
+        # this language tag (case-insensitive), regardless of value.
+        return F.coalesce((tc.kind == "literal")
+                          & (F.lower(tc.lang) == v.value.lower()),
+                          F.lit(False))
     if v.kind == "languageStem":
         low = v.value.lower()
+        if low == "":  # empty stem = any language-tagged literal
+            return (tc.kind == "literal") & tc.lang.isNotNull()
         return ((tc.kind == "literal") & tc.lang.isNotNull()
                 & ((F.lower(tc.lang) == low)
                    | F.lower(tc.lang).startswith(low + "-")))
@@ -168,10 +194,17 @@ def _value_match(v: ValueSpec, tc: TermCols) -> Column:
     dt = v.dt or (None if v.lang else XSD_STRING)
     cond = (tc.kind == "literal") & (tc.value == v.value)
     if v.lang:
-        cond = cond & (F.lower(tc.lang) == v.lang.lower())
+        # NULL guard: a plain literal has lang NULL; `lower(NULL) == x`
+        # is NULL, which would leak through sh:in/hasValue/xone into
+        # conformance as a spurious match (the 'never null' invariant).
+        cond = cond & tc.lang.isNotNull() & (F.lower(tc.lang) == v.lang.lower())
     elif dt:
-        cond = cond & (tc.dt == dt)
-    return cond
+        # RDF 1.1: a simple literal IS an xsd:string — sources that
+        # leave dt NULL for plain literals must still match "foo"; and
+        # a lang-tagged literal must NOT match a plain/typed value.
+        cond = (cond & tc.lang.isNull()
+                & (F.coalesce(tc.dt, F.lit(XSD_STRING)) == dt))
+    return F.coalesce(cond, F.lit(False))
 
 
 def _lang_in(langs: tuple[str, ...], lang: Column) -> Column:
@@ -192,7 +225,11 @@ def compile_expr(e: NodeExpr, tc: TermCols) -> Column:
     if k == "false":
         return F.lit(False)
     if k == "datatype":
-        return (tc.kind == "literal") & (tc.dt == e.iri) & _well_formed(e.iri, tc.value)
+        # NULL-dt literal ⇒ simple literal ⇒ xsd:string (RDF 1.1);
+        # coalesce keeps the branch boolean, never NULL.
+        return ((tc.kind == "literal")
+                & (F.coalesce(tc.dt, F.lit(XSD_STRING)) == e.iri)
+                & _well_formed(e.iri, tc.value))
     if k == "nodeKind":
         return tc.kind.isin(list(NODE_KINDS[e.enum]))
     if k == "in":
@@ -202,17 +239,53 @@ def compile_expr(e: NodeExpr, tc: TermCols) -> Column:
         return out
     if k == "hasValue":  # node-position semantics: the term IS the value
         return _value_match(e.values[0], tc)
-    if k == "pattern":
-        pat = e.pattern
-        if e.flags and "i" in e.flags:
-            pat = "(?i)" + pat
-        return (tc.kind != "bnode") & tc.value.rlike(pat)
-    if k == "minLength":
-        return (tc.kind != "bnode") & (F.length(tc.value) >= e.num)
-    if k == "maxLength":
-        return (tc.kind != "bnode") & (F.length(tc.value) <= e.num)
+    if k in ("pattern", "minLength", "maxLength"):
+        # ShEx string facets apply to the bnode LABEL (sans '_:');
+        # SHACL says a bnode violates these components outright.
+        if e.shex:
+            sval = F.when(tc.kind == "bnode",
+                          tc.value.substr(F.lit(3), F.length(tc.value))
+                          ).otherwise(tc.value)
+            guard = F.lit(True)
+        else:
+            sval = tc.value
+            guard = tc.kind != "bnode"
+        if k == "pattern":
+            pat = e.pattern
+            if e.flags and "i" in e.flags:
+                pat = "(?i)" + pat
+            return guard & sval.rlike(pat)
+        if k == "minLength":
+            return guard & (F.length(sval) >= e.num)
+        return guard & (F.length(sval) <= e.num)
     if k in ("minInclusive", "maxInclusive", "minExclusive", "maxExclusive"):
         return _range_check(e, tc)
+    if k in ("totalDigits", "fractionDigits"):
+        # XSD digit facets constrain the decimal family VALUE: sign,
+        # leading integer zeros and trailing fraction zeros don't count
+        # (ShExJ keys totaldigits/fractiondigits; suite traits
+        # sht:TotalDigitsFacet / sht:FractionDigitsFacet).
+        from .model import INTEGER_DATATYPES, XSD_DECIMAL
+
+        decimal_family = INTEGER_DATATYPES | {XSD_DECIMAL}
+        # the literal must be well-formed FOR ITS OWN datatype: e.g.
+        # "1.2345"^^xsd:integer is malformed, so the facet fails
+        # (suite 1literalTotaldigits_fail-malformedxsd_integer-1_2345)
+        lex_ok = F.when(
+            tc.dt.isin(list(INTEGER_DATATYPES)), tc.value.rlike(r"^[+-]?\d+$")
+        ).otherwise(tc.value.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$"))
+        no_sign = F.regexp_replace(tc.value, r"^[+-]", "")
+        int_part = F.regexp_replace(
+            F.regexp_extract(no_sign, r"^(\d*)", 1), r"^0+", "")
+        frac_part = F.regexp_replace(
+            F.regexp_extract(no_sign, r"\.(\d*)$", 1), r"0+$", "")
+        if k == "totalDigits":
+            cnt = F.length(int_part) + F.length(frac_part)
+        else:
+            cnt = F.length(frac_part)
+        return ((tc.kind == "literal")
+                & F.coalesce(tc.dt.isin(list(decimal_family)), F.lit(False))
+                & lex_ok & (cnt <= e.num))
     if k == "languageIn":
         return _lang_in(e.langs, tc.lang)
     if k == "class":
@@ -347,14 +420,34 @@ class ValidationEngine:
         result = engine.validate(focus_df)   # focus: (node, shape)
     """
 
-    def __init__(self, spark: SparkSession, schema: SchemaDict, triples: DataFrame):
+    def __init__(self, spark: SparkSession, schema: SchemaDict,
+                 triples: DataFrame, cache: bool = True):
         self.spark = spark
         self.schema = schema
         self.triples = triples
-        # class-membership relation used by every sh:class / targetClass:
-        # computed once (with rdfs:subClassOf* closure), reused across shapes.
-        self._type_arcs = class_membership(triples)
+        # cache=False skips candidate/conformance persisting — for
+        # micro-graph batch harnesses (ShEx suite) where recomputing a
+        # five-row subtree is cheaper than cache bookkeeping.
+        self.cache = cache
+        self._type_arcs_df: DataFrame | None = None
         self._persisted: list[DataFrame] = []
+
+    @property
+    def _type_arcs(self) -> DataFrame:
+        """Class-membership relation used by sh:class / targetClass —
+        computed lazily on first use (its subClassOf closure costs a
+        driver action; schemas without class constraints never pay it),
+        then reused across shapes."""
+        if self._type_arcs_df is None:
+            self._type_arcs_df = class_membership(self.triples)
+        return self._type_arcs_df
+
+    def _maybe_persist(self, df: DataFrame) -> DataFrame:
+        if not self.cache:
+            return df
+        df = df.persist()
+        self._persisted.append(df)
+        return df
 
     def unpersist_all(self) -> None:
         """Release every DataFrame this engine persisted (candidate
@@ -487,7 +580,11 @@ class ValidationEngine:
             df = df.join(rhs, on="__tkey", how="left")
             ref_cols[lbl] = F.col(cname)
         if classes:
-            df = df.withColumn("__jv", F.col(prefix + "value"))
+            # class membership is defined on IRI/bnode terms only: a
+            # literal whose lexical form equals an instance IRI must
+            # not cross-match — NULL join key never equi-joins.
+            df = df.withColumn("__jv", F.when(
+                F.col(prefix + "kind") != "literal", F.col(prefix + "value")))
         for i, cls in enumerate(sorted(classes)):
             cname = f"__cls_{i}"
             rhs = (self._type_arcs.filter(F.col("cls") == cls)
@@ -578,15 +675,40 @@ class ValidationEngine:
 
             group_flags = []
             for gi, group in enumerate(shape.one_of):
-                proxy = _dc_replace(shape, closed=False, one_of=[],
-                                    node_constraints=[], properties=list(group))
-                sub_reports: list[DataFrame] = []
-                gdf = self._eval_simple_props(
-                    proxy, cand, conf,
-                    [pc for pc in group if pc.path.is_simple_pred], sub_reports)
                 gname = f"__oneof_{gi}"
+                simple_g = [pc for pc in group if pc.path.is_simple_pred]
+                complex_g = [pc for pc in group if not pc.path.is_simple_pred]
+                # each member family yields a (KEY, bool) relation; the
+                # group matches iff ALL members match (EachOf inside the
+                # chosen alternative). Non-simple paths (e.g. inverse
+                # ^p from ShExC) are evaluated via the complex-path
+                # evaluator — dropping them would make a group with a
+                # missing ^p arc spuriously 'match'.
+                member_flags: list[DataFrame] = []
+                if simple_g:
+                    proxy = _dc_replace(shape, closed=False, one_of=[],
+                                        node_constraints=[],
+                                        properties=list(simple_g))
+                    sub_reports: list[DataFrame] = []
+                    gdf = self._eval_simple_props(
+                        proxy, cand, conf, simple_g, sub_reports)
+                    member_flags.append(
+                        gdf.select(KEY, F.col("__props_ok").alias("__m")))
+                for ci, pcx in enumerate(complex_g):
+                    sub_reports = []
+                    fl = f"__oneof_{gi}_c{ci}"
+                    dfp = self._eval_one_property(
+                        shape, cand, conf, pcx, fl, sub_reports)
+                    member_flags.append(
+                        dfp.select(KEY, F.col(fl).alias("__m")))
+                gmerged = cand.select(KEY)
+                gcol = F.lit(True)
+                for mi, mdf in enumerate(member_flags):
+                    mdf = mdf.withColumnRenamed("__m", f"__m_{mi}")
+                    gmerged = gmerged.join(mdf, on=KEY, how="left")
+                    gcol = gcol & F.coalesce(F.col(f"__m_{mi}"), F.lit(False))
                 group_flags.append(
-                    gdf.select(KEY, F.col("__props_ok").alias(gname)))
+                    gmerged.select(KEY, gcol.alias(gname)))
             merged = cand.select(KEY, "f_value")
             total = F.lit(0)
             for gi, gdf in enumerate(group_flags):
@@ -899,14 +1021,18 @@ class ValidationEngine:
 
     # -- public entry ---------------------------------------------------------
 
-    def validate(self, focus: DataFrame) -> ValidationResult:
+    def validate(self, focus: DataFrame,
+                 full_terms: bool = False) -> ValidationResult:
+        """full_terms=True adds node_kind/node_dt/node_lang columns to
+        the conformance relation — needed when literal focus terms can
+        share a lexical value but differ in datatype/language (the ShEx
+        suite's "ab"^^dt1 vs "ab"^^dt2 entries)."""
         cands = self._propagate_candidates(focus)
         # candidate sets are reused by every constraint sub-plan of a
         # shape (fused agg, complex paths, pairwise, reports): persist
         # lazily so each materializes at most once.
         for lbl in cands:
-            cands[lbl] = cands[lbl].persist()
-            self._persisted.append(cands[lbl])
+            cands[lbl] = self._maybe_persist(cands[lbl])
         conf: dict[str, DataFrame] = {}
         all_reports: list[DataFrame] = []
 
@@ -916,8 +1042,7 @@ class ValidationEngine:
                 c, reps = self._evaluate_shape(self.schema.shapes[lbl], cands[lbl], conf)
                 # lazy persist: materialized on first action, reused by
                 # every ref join — no eager driver-side job per shape
-                conf[lbl] = c.persist()
-                self._persisted.append(conf[lbl])
+                conf[lbl] = self._maybe_persist(c)
                 all_reports.extend(reps)
             else:
                 # greatest fixpoint: start all-conforming (co-inductive
@@ -945,11 +1070,16 @@ class ValidationEngine:
                     all_reports.extend(reps)
 
         conformance = None
+        extra_cols = ([F.col("f_kind").alias("node_kind"),
+                       F.col("f_dt").alias("node_dt"),
+                       F.col("f_lang").alias("node_lang")]
+                      if full_terms else [])
         for lbl, c in conf.items():
             piece = c.select(
                 F.col("f_value").alias("node"),
                 F.lit(lbl).alias("shape"),
                 F.col("conforms"),
+                *extra_cols,
             )
             conformance = piece if conformance is None else conformance.unionByName(piece)
 
@@ -966,7 +1096,11 @@ class ValidationEngine:
         # NodeConstraintComponent (SHACL sh:node vs sh:property split).
         focus_nodes = focus.select(F.col("node").alias("focus_node"),
                                    F.col("shape").alias("source_shape")).distinct()
-        kept = report.join(F.broadcast(focus_nodes),
+        # NOTE: no broadcast hint — the focus set is data-sized (every
+        # instance of a targetClass: millions of rows at 100-TB scale);
+        # a forced broadcast would OOM the driver. AQE picks broadcast
+        # on its own when the set is actually small.
+        kept = report.join(focus_nodes,
                            on=["focus_node", "source_shape"], how="left_semi")
         transparent = [lbl for lbl, sh in self.schema.shapes.items()
                        if sh.transparent]

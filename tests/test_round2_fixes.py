@@ -1,0 +1,252 @@
+"""Round-2 regression tests for the judge/advisor findings:
+
+1. _value_match NULL leak (ADVICE high): a plain literal must NOT
+   satisfy sh:in with a lang-tagged member — NULL from `lower(NULL)`
+   used to coalesce into conforms=True and drop the report row.
+2. ShEx OneOf non-simple-path members (ADVICE high): an inverse TC
+   inside a group used to be silently ignored; a group with ONLY
+   non-simple paths used to crash with an empty-aggregate error.
+3. sh:class literal cross-match (ADVICE low): a literal whose lexical
+   form equals an instance IRI must not satisfy sh:class.
+4. Connected components is real large-star/small-star (VERDICT #3):
+   a long chain converges in O(log n) rounds, not O(diameter).
+5. LSH hot-bucket cap (VERDICT #5): a degenerate corpus (identical
+   empty docs) completes with a bounded candidate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shaclex_spark.model import RDF_TYPE, XSD_STRING
+from shaclex_spark.shapes import SchemaDict
+from shaclex_spark.validation import ValidationEngine
+
+from conftest import focus_df, triples_df
+
+EX = "http://example.org/"
+LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def run(spark, rows, shapes, focus_rows):
+    t = triples_df(spark, rows)
+    schema = SchemaDict.from_json(shapes)
+    engine = ValidationEngine(spark, schema, t)
+    res = engine.validate(focus_df(spark, focus_rows))
+    conf = {(r["node"], r["shape"]): r["conforms"]
+            for r in res.conformance.collect()}
+    report = res.report.collect()
+    return conf, report
+
+
+# ---------------------------------------------------------------- 1. NULL leak
+
+def test_plain_literal_fails_lang_tagged_in(spark):
+    """Property position: "foo" (plain) vs sh:in ("foo"@en)."""
+    rows = [
+        (EX + "a", EX + "p", "literal", "foo", XSD_STRING, None),
+        (EX + "b", EX + "p", "literal", "foo", LANGSTR, "en"),
+    ]
+    shapes = [{
+        "label": "S",
+        "constraints": [{
+            "path": EX + "p",
+            "node": {"kind": "in", "values": [
+                {"kind": "literal", "value": "foo", "lang": "en"}]},
+        }],
+    }]
+    conf, report = run(spark, rows, shapes, [(EX + "a", "S"), (EX + "b", "S")])
+    assert conf[(EX + "a", "S")] is False   # plain literal ≠ "foo"@en
+    assert conf[(EX + "b", "S")] is True
+    assert any(r.focus_node == EX + "a" and r.component == "InConstraintComponent"
+               for r in report)
+
+
+def test_lang_literal_fails_plain_in(spark):
+    """Converse: "foo"@en must not match sh:in ("foo") (xsd:string)."""
+    rows = [
+        (EX + "a", EX + "p", "literal", "foo", LANGSTR, "en"),
+        (EX + "b", EX + "p", "literal", "foo", XSD_STRING, None),
+        # NULL-dt literal = RDF 1.1 simple literal = xsd:string: matches
+        (EX + "c", EX + "p", "literal", "foo", None, None),
+    ]
+    shapes = [{
+        "label": "S",
+        "constraints": [{
+            "path": EX + "p",
+            "node": {"kind": "in", "values": [
+                {"kind": "literal", "value": "foo"}]},
+        }],
+    }]
+    conf, _ = run(spark, rows, shapes,
+                  [(EX + n, "S") for n in ("a", "b", "c")])
+    assert conf[(EX + "a", "S")] is False
+    assert conf[(EX + "b", "S")] is True
+    assert conf[(EX + "c", "S")] is True
+
+
+def test_null_dt_literal_datatype_string(spark):
+    """NULL-dt literal satisfies sh:datatype xsd:string (RDF 1.1) and
+    never leaks NULL into conformance."""
+    rows = [(EX + "a", EX + "p", "literal", "v", None, None)]
+    shapes = [{
+        "label": "S",
+        "constraints": [{"path": EX + "p",
+                         "node": {"kind": "datatype", "iri": XSD_STRING}}],
+    }]
+    conf, _ = run(spark, rows, shapes, [(EX + "a", "S")])
+    assert conf[(EX + "a", "S")] is True
+
+
+# ------------------------------------------------------------ 2. OneOf paths
+
+def test_oneof_inverse_tc_enforced(spark):
+    """A OneOf group containing an inverse TC must require the ^q arc:
+    a node with only the forward half of the group must NOT conform."""
+    rows = [
+        # good: has p-arc AND incoming q-arc → group 1 matches
+        (EX + "good", EX + "p", "literal", "x", XSD_STRING, None),
+        (EX + "z", EX + "q", "iri", EX + "good", None, None),
+        # bad: has p-arc but NO incoming q-arc → group 1 must fail;
+        # group 2 (r-arc) also absent → nonconforming
+        (EX + "bad", EX + "p", "literal", "x", XSD_STRING, None),
+        # alt: matches group 2 only
+        (EX + "alt", EX + "r", "literal", "y", XSD_STRING, None),
+    ]
+    shapes = [{
+        "label": "S",
+        "oneOf": [
+            [  # group 1: p AND ^q
+                {"path": EX + "p", "minCount": 1, "exclusive": True},
+                {"path": {"kind": "inverse", "iri": EX + "q"},
+                 "minCount": 1, "exclusive": True},
+            ],
+            [  # group 2: r
+                {"path": EX + "r", "minCount": 1, "exclusive": True},
+            ],
+        ],
+    }]
+    conf, _ = run(spark, rows, shapes,
+                  [(EX + n, "S") for n in ("good", "bad", "alt")])
+    assert conf[(EX + "good", "S")] is True
+    assert conf[(EX + "bad", "S")] is False
+    assert conf[(EX + "alt", "S")] is True
+
+
+def test_oneof_group_only_complex_paths(spark):
+    """A group whose members are ALL non-simple paths must evaluate
+    (used to crash with an empty-aggregates groupBy)."""
+    rows = [
+        (EX + "z", EX + "q", "iri", EX + "good", None, None),
+        (EX + "bad", EX + "p", "literal", "x", XSD_STRING, None),
+    ]
+    shapes = [{
+        "label": "S",
+        "oneOf": [
+            [{"path": {"kind": "inverse", "iri": EX + "q"}, "minCount": 1}],
+        ],
+    }]
+    conf, _ = run(spark, rows, shapes,
+                  [(EX + "good", "S"), (EX + "bad", "S")])
+    assert conf[(EX + "good", "S")] is True
+    assert conf[(EX + "bad", "S")] is False
+
+
+# ------------------------------------------------------- 3. class cross-match
+
+def test_literal_never_satisfies_class(spark):
+    """A literal whose lexical form equals an instance IRI must not
+    cross-match sh:class through the value-only join key."""
+    rows = [
+        (EX + "inst", RDF_TYPE, "iri", EX + "C", None, None),
+        # object is a LITERAL with the instance's IRI as lexical form
+        (EX + "a", EX + "p", "literal", EX + "inst", XSD_STRING, None),
+        # object is the actual IRI
+        (EX + "b", EX + "p", "iri", EX + "inst", None, None),
+    ]
+    shapes = [{
+        "label": "S",
+        "constraints": [{"path": EX + "p",
+                         "node": {"kind": "class", "iri": EX + "C"}}],
+    }]
+    conf, _ = run(spark, rows, shapes, [(EX + "a", "S"), (EX + "b", "S")])
+    assert conf[(EX + "a", "S")] is False
+    assert conf[(EX + "b", "S")] is True
+
+
+# --------------------------------------------------- 4. connected components
+
+def test_cc_chain_logarithmic_rounds(spark):
+    """64-node chain: naive min-label propagation needs ~63 rounds;
+    large-star/small-star must converge in O(log n) — assert ≤ 12 and
+    that the single component labels to the global min."""
+    from shaclex_spark.linking import connected_components
+
+    n = 64
+    ids = [f"m{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "a string, b string")
+    vertices = spark.createDataFrame([(i,) for i in ids], "mention string")
+    labels, rounds = connected_components(edges, vertices, return_rounds=True)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert set(got.values()) == {"m000"}
+    assert len(got) == n
+    assert rounds <= 12, f"CC took {rounds} rounds on a 64-chain"
+
+
+def test_cc_two_components_and_isolated(spark):
+    from shaclex_spark.linking import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("y", "z")], "a string, b string")
+    vertices = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("y",), ("z",), ("lone",)],
+        "mention string")
+    labels = connected_components(edges, vertices)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "y": "y", "z": "y", "lone": "lone"}
+
+
+# ------------------------------------------------------- 5. hot-bucket cap
+
+def test_lsh_hot_bucket_cap_degenerate_corpus(spark):
+    """1000 identical docs put the whole corpus into one bucket per
+    band; with a cap the candidate set is bounded (here: empty), and
+    the job completes without a quadratic pair explosion."""
+    from shaclex_spark.functions.dedup import lsh_candidates
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text").alias("text"))
+    capped = lsh_candidates(docs, "doc_id", "text", n_bands=4,
+                            rows_per_band=2, max_bucket_size=50)
+    assert capped.count() == 0
+    # uncapped sanity on a tiny slice: identical docs DO pair up
+    uncapped = lsh_candidates(docs.limit(5), "doc_id", "text", n_bands=4,
+                              rows_per_band=2, max_bucket_size=None)
+    assert uncapped.count() == 10  # C(5,2)
+
+
+def test_cap_buckets_drops_only_hot(spark):
+    from shaclex_spark.linking import _cap_buckets
+
+    rows = ([(f"m{i}", 0, 111) for i in range(200)]     # hot bucket
+            + [("a", 1, 222), ("b", 1, 222)])            # small bucket
+    bands = spark.createDataFrame(rows, "m string, band int, bucket long")
+    kept = _cap_buckets(bands, max_bucket_size=20)
+    got = {(r.m, r.band) for r in kept.collect()}
+    assert got == {("a", 1), ("b", 1)}
+
+
+def test_linking_still_links_with_cap(spark):
+    """End-to-end: similar mentions still merge under the default cap."""
+    from shaclex_spark.linking import candidate_pairs, jaccard_verify
+
+    mentions = spark.createDataFrame(
+        [("Alice Smith",), ("Alice Smith.",), ("Bob Jones",)],
+        "mention string")
+    pairs = candidate_pairs(mentions)
+    edges = jaccard_verify(pairs, threshold=0.4)
+    got = {tuple(sorted((r.a, r.b))) for r in edges.collect()}
+    assert ("Alice Smith", "Alice Smith.") in got
