@@ -287,6 +287,13 @@ class ShaclReader:
         preds = g.po.get(sid, {})
         if not preds:
             return o[1]
+        if preds.get(RDF_FIRST):
+            # list structure FIRST: a malformed path node carrying BOTH
+            # rdf:first/rest and sh:inversePath reads as the sequence
+            # (W3C path-strange-001/002 expect the list interpretation)
+            items = g.rdf_list(g.subj_term.get(sid, ("bnode", sid, None, None)))
+            return {"kind": "sequence",
+                    "steps": [self._path_spec(t) for t in items]}
         if preds.get(SH + "inversePath"):
             inner = self._path_spec(g.obj(sid, SH + "inversePath"))
             if isinstance(inner, str):
@@ -333,6 +340,12 @@ class ShaclReader:
                 spec["minCount"] = int(qmin[1])
             if qmax:
                 spec["maxCount"] = int(qmax[1])
+            qd = g.obj(sid, SH + "qualifiedValueShapesDisjoint")
+            if qd and qd[1] == "true":
+                # sibling exclusion (ShEx2Shacl.scala:374-405): a value
+                # counts for this qualified shape only if it does NOT
+                # also conform to a sibling qualified value shape
+                spec["qualifiedDisjoint"] = True
         if exprs:
             spec["node"] = exprs[0] if len(exprs) == 1 else \
                 {"kind": "allOf", "exprs": exprs}

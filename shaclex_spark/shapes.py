@@ -253,6 +253,10 @@ class PropertyConstraint:
     max_count: Optional[int] = None  # None = unbounded (Star)
     node: NodeExpr = TRUE
     qualified: bool = False          # count-conforming-only semantics
+    # sibling exclusion: a value counts only if it does NOT conform to
+    # any sibling qualified value shape of the same parent shape
+    # (sh:qualifiedValueShapesDisjoint; ShEx2Shacl.scala:374-405)
+    qualified_disjoint: bool = False
     exclusive: bool = False          # ShEx: additionally no non-conforming value
     unique_lang: bool = False
     equals: Optional[str] = None             # sibling predicate IRI
@@ -277,6 +281,7 @@ def parse_property(spec: dict[str, Any]) -> PropertyConstraint:
         max_count=None if mc in (None, "*") else int(mc),
         node=parse_node_expr(spec.get("node")),
         qualified=bool(spec.get("qualified", False)),
+        qualified_disjoint=bool(spec.get("qualifiedDisjoint", False)),
         exclusive=bool(spec.get("exclusive", False)),
         unique_lang=bool(spec.get("uniqueLang", False)),
         equals=spec.get("equals"),

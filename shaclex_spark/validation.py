@@ -449,6 +449,25 @@ class ValidationEngine:
         self._persisted.append(df)
         return df
 
+    @property
+    def _big_schema(self) -> bool:
+        """Schemas with many shapes / constraints compound candidate
+        unions and per-constraint joins into logical plans deep enough
+        to overflow Catalyst's recursive TreeNode.clone (observed on
+        SHACL-SHACL meta-validation: 18 shapes, 38-constraint
+        ShapeShape). For those, sub-plans are flattened behind lazy
+        localCheckpoint barriers."""
+        n_constraints = sum(len(s.properties) + len(s.node_constraints)
+                            for s in self.schema.shapes.values())
+        return len(self.schema.shapes) >= 8 or n_constraints >= 24
+
+    def _maybe_flatten(self, df: DataFrame) -> DataFrame:
+        """Cut logical-plan depth (lazy localCheckpoint: flattens the
+        plan to a LogicalRDD immediately, computes on first action)."""
+        if self._big_schema:
+            return df.localCheckpoint(eager=False)
+        return df
+
     def unpersist_all(self) -> None:
         """Release every DataFrame this engine persisted (candidate
         sets, per-shape conformance). Call after consuming results in
@@ -530,8 +549,8 @@ class ValidationEngine:
                 a = scc[0]
                 for b, pc in by_src.get(a, []):
                     derived = self._derive_candidates(cands[a], pc)
-                    cands[b] = cands[b].unionByName(derived) \
-                        .dropDuplicates([KEY])
+                    cands[b] = self._maybe_flatten(
+                        cands[b].unionByName(derived).dropDuplicates([KEY]))
             return cands
 
         for lbl in self.schema.shapes:
@@ -774,8 +793,12 @@ class ValidationEngine:
         checks: list[tuple[PropertyConstraint, dict[str, str]]] = []
         report_value_filters: list[tuple[PropertyConstraint, NodeExpr, Column]] = []
 
-        for i, pc in enumerate(props):
-            on_path = F.col("pred") == pc.path.iri
+        # first pass: per-constraint value predicates (needed up front so
+        # qualifiedValueShapesDisjoint constraints can exclude values
+        # matching a SIBLING qualified shape — ShEx2Shacl.scala:374-405;
+        # fixture core/property/qualifiedValueShapesDisjoint-001.ttl)
+        prepared = []
+        for pc in props:
             conjs = _top_conjuncts(pc.node)
             per_value = [c for c in conjs if c.kind != "hasValue"]
             existential = [c for c in conjs if c.kind == "hasValue"]
@@ -785,11 +808,20 @@ class ValidationEngine:
                     v_ok = v_ok & compile_expr(c, tc)
             else:
                 v_ok = F.lit(True)
+            prepared.append((pc, conjs, existential, v_ok))
+
+        for i, (pc, conjs, existential, v_ok) in enumerate(prepared):
+            on_path = F.col("pred") == pc.path.iri
+            count_ok = v_ok
+            if pc.qualified and pc.qualified_disjoint:
+                for j, (pc2, _, _, v_ok2) in enumerate(prepared):
+                    if j != i and pc2.qualified and pc2.qualified_disjoint:
+                        count_ok = count_ok & ~v_ok2
             names = {
                 "total": f"__n_{i}", "ok": f"__ok_{i}", "bad": f"__bad_{i}",
             }
             aggs.append(F.count(F.when(on_path, F.lit(1))).alias(names["total"]))
-            aggs.append(F.count(F.when(on_path & v_ok, F.lit(1))).alias(names["ok"]))
+            aggs.append(F.count(F.when(on_path & count_ok, F.lit(1))).alias(names["ok"]))
             aggs.append(F.count(F.when(on_path & ~v_ok, F.lit(1))).alias(names["bad"]))
             for j, ex in enumerate(existential):
                 nm = f"__has_{i}_{j}"
@@ -949,13 +981,21 @@ class ValidationEngine:
             ok = ok & (F.coalesce(F.col("__bad_n"), F.lit(0)) == 0)
         for j in range(len(existential)):
             ok = ok & (F.coalesce(F.col(f"__has_{j}"), F.lit(0)) >= 1)
-        # cardinality reports
+        # cardinality + hasValue reports (hasValue over a complex path:
+        # zero-pair focus nodes coalesce to count 0 and must report —
+        # W3C path-complex-001 targets nodes absent from the data)
         names = {"total": "__n", "ok": "__ok_n", "bad": "__bad_n"}
+        has_cols = []
+        for j in range(len(existential)):
+            names[f"has_{j}"] = f"__has_{j}"
+            has_cols.append(
+                F.coalesce(F.col(f"__has_{j}"), F.lit(0)).alias(f"__has_{j}"))
         grouped_for_reports = joined.select(
             KEY, "f_value",
             F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
             F.coalesce(F.col("__ok_n"), F.lit(0)).alias("__ok_n"),
             F.coalesce(F.col("__bad_n"), F.lit(0)).alias("__bad_n"),
+            *has_cols,
         )
         self._card_reports(reports, grouped_for_reports, shape, pc, names)
         return joined.select(KEY, ok.alias(flag))
@@ -1042,7 +1082,7 @@ class ValidationEngine:
                 c, reps = self._evaluate_shape(self.schema.shapes[lbl], cands[lbl], conf)
                 # lazy persist: materialized on first action, reused by
                 # every ref join — no eager driver-side job per shape
-                conf[lbl] = self._maybe_persist(c)
+                conf[lbl] = self._maybe_persist(self._maybe_flatten(c))
                 all_reports.extend(reps)
             else:
                 # greatest fixpoint: start all-conforming (co-inductive
