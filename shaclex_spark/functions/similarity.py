@@ -44,13 +44,15 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                     F.round("cosine", 4).alias("cosine")))
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64,
+                         seed: int = 0) -> Column:
     """Deterministic random-hyperplane LSH signature (long bitmask).
     Plane p's coefficient for dimension d is pseudo-random, derived
-    from xxhash64(p, d) — reproducible across runs. Planes unrolled at
-    compile time (whole-stage codegen keeps this JVM-side)."""
+    from xxhash64(seed, p, d) — reproducible across runs; distinct
+    seeds give independent hash TABLES. Planes unrolled at compile
+    time (whole-stage codegen keeps this JVM-side)."""
     def coeff(p: int, d):
-        h = F.xxhash64(F.lit("plane"), F.lit(p), d)
+        h = F.xxhash64(F.lit("plane"), F.lit(seed), F.lit(p), d)
         return (F.pmod(h, F.lit(1000)).cast("double") - 499.5)
 
     def _mul(p: int):
@@ -71,20 +73,62 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
 
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  n_planes: int = 12, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket, then
-    exact cosine within candidates. Output like cosine_topk (+bucket)."""
+                 vec_col: str = "embedding",
+                 n_tables: int = 4, probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane bucket in ANY
+    of ``n_tables`` independent hash tables, with queries additionally
+    probing every bucket within Hamming distance ``probe_hamming`` of
+    their own (multi-probe LSH — recovers neighbors that fall just
+    across one hyperplane without paying for more tables). Exact
+    cosine re-ranking within candidates. Output like cosine_topk.
+
+    Scale shape: the corpus side stays one row per (table, vector) —
+    n_tables × |corpus|; only the (tiny) QUERY side fans out by
+    (1 + n_planes choose ≤probe_hamming) probes and is broadcast, so
+    the join cost is ∝ bucket sizes, never corpus².
+    """
     dim = 64
-    sig = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"),
-                     hyperplane_signature(F.col(vec_col), n_planes, dim)
-                     .alias("bucket"))
-    queries = sig.filter(F.col("i").isin(query_ids)).select(
-        F.col("i").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket"))
-    scored = (sig.join(F.broadcast(queries), on="bucket")
-              .filter(F.col("i") != F.col("query_id"))
-              .withColumn("cosine", _dot(F.col("qv"), F.col("v"))
-                          / (_norm(F.col("qv")) * _norm(F.col("v")))))
+    sig_cols = [
+        F.struct(F.lit(t).alias("t"),
+                 hyperplane_signature(F.col(vec_col), n_planes, dim, seed=t)
+                 .alias("bucket"))
+        for t in range(n_tables)
+    ]
+    corpus = (emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"),
+                         F.explode(F.array(*sig_cols)).alias("tb"))
+              .select("i", "v", F.col("tb.t").alias("t"),
+                      F.col("tb.bucket").alias("bucket")))
+
+    qbase = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qv"),
+                     F.explode(F.array(*[
+                         F.struct(F.lit(t).alias("t"),
+                                  hyperplane_signature(
+                                      F.col(vec_col), n_planes, dim, seed=t)
+                                  .alias("bucket"))
+                         for t in range(n_tables)])).alias("tb"))
+             .select("query_id", "qv", F.col("tb.t").alias("t"),
+                     F.col("tb.bucket").alias("bucket")))
+    # multi-probe: flip each subset of ≤probe_hamming sign bits
+    probe_masks = [0]
+    if probe_hamming >= 1:
+        probe_masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        probe_masks += [(1 << p) | (1 << q)
+                        for p in range(n_planes) for q in range(p + 1, n_planes)]
+    queries = (qbase.withColumn(
+        "bucket", F.explode(F.array(*[
+            F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+            for m in probe_masks])))
+    )
+    cands = (corpus.join(F.broadcast(queries), on=["t", "bucket"])
+             .filter(F.col("i") != F.col("query_id"))
+             .select("query_id", "qv", "i", "v")
+             .dropDuplicates(["query_id", "i"]))
+    scored = cands.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("v"))
+        / (_norm(F.col("qv")) * _norm(F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("i"))
     return (scored.withColumn("rank", F.row_number().over(w))

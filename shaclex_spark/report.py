@@ -79,11 +79,18 @@ def report_to_turtle(report: DataFrame) -> str:
 def result_shape_map_compact(conformance: DataFrame) -> str:
     """Compact result shape map: one `node@shape` (conformant) or
     `node@!shape` (non-conformant) association per line, sorted for
-    determinism."""
+    determinism. If the conformance relation carries the 4-valued
+    ``status`` column (validate(with_status=True)), pairs decided only
+    by the fixpoint's starting assumption render as `node@?shape`
+    (Unknown — Val.scala:3-45)."""
+    if "status" in conformance.columns:
+        mark = (F.when(F.col("status") == "unknown", F.lit("?"))
+                .when(F.col("status") == "nonconformant", F.lit("!"))
+                .otherwise(F.lit("")))
+    else:
+        mark = F.when(F.col("conforms"), F.lit("")).otherwise(F.lit("!"))
     lines = conformance.select(F.concat(
-        F.lit("<"), F.col("node"), F.lit(">@"),
-        F.when(F.col("conforms"), F.lit("")).otherwise(F.lit("!")),
-        F.col("shape"),
+        F.lit("<"), F.col("node"), F.lit(">@"), mark, F.col("shape"),
     ).alias("line")).orderBy("line")
     return "\n".join(r.line for r in lines.collect()) + "\n"
 

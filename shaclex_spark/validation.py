@@ -1061,12 +1061,53 @@ class ValidationEngine:
 
     # -- public entry ---------------------------------------------------------
 
+    def _run_fixpoint(self, scc: list[str], cands: dict, conf: dict,
+                      start: bool) -> dict[str, list[DataFrame]]:
+        """Iterate a recursive SCC to a fixpoint from the given start
+        value, mutating conf[lbl] for the SCC's labels in place.
+        start=True  → GREATEST fixpoint (co-inductive, Unknown-as-ok —
+                      ShapesMap.scala:19-23);
+        start=False → LEAST fixpoint (inductive). Where the two
+        disagree, the pair's status is genuinely Unknown (Val.scala's
+        4-valued lattice: decided only by the starting assumption).
+        Returns the final round's report pieces per label."""
+        for lbl in scc:
+            conf[lbl] = cands[lbl].withColumn("conforms", F.lit(start)) \
+                                  .localCheckpoint(eager=True)
+        prev_counts = {lbl: conf[lbl].filter("conforms").count() for lbl in scc}
+        last_reports: dict[str, list[DataFrame]] = {}
+        for _ in range(MAX_FIXPOINT_ROUNDS):
+            changed = False
+            for lbl in scc:
+                c, reps = self._evaluate_shape(
+                    self.schema.shapes[lbl], cands[lbl], conf)
+                c = c.localCheckpoint(eager=True)
+                n = c.filter("conforms").count()
+                last_reports[lbl] = reps
+                conf[lbl] = c
+                if n != prev_counts[lbl]:
+                    prev_counts[lbl] = n
+                    changed = True
+            if not changed:
+                break
+        return last_reports
+
     def validate(self, focus: DataFrame,
-                 full_terms: bool = False) -> ValidationResult:
+                 full_terms: bool = False,
+                 with_status: bool = False) -> ValidationResult:
         """full_terms=True adds node_kind/node_dt/node_lang columns to
         the conformance relation — needed when literal focus terms can
         share a lexical value but differ in datatype/language (the ShEx
-        suite's "ab"^^dt1 vs "ab"^^dt2 entries)."""
+        suite's "ab"^^dt1 vs "ab"^^dt2 entries).
+
+        with_status=True adds a 4-valued ``status`` column
+        (conformant | nonconformant | unknown — Val.scala:3-45): for
+        recursive SCCs the engine then ALSO runs the least fixpoint,
+        and pairs whose verdict differs between the greatest and least
+        fixpoints (i.e. decided only by the co-inductive starting
+        assumption) surface as 'unknown' instead of silently adopting
+        the co-inductive answer. The boolean ``conforms`` stays the
+        greatest-fixpoint verdict for backward compatibility."""
         cands = self._propagate_candidates(focus)
         # candidate sets are reused by every constraint sub-plan of a
         # shape (fused agg, complex paths, pairwise, reports): persist
@@ -1074,6 +1115,7 @@ class ValidationEngine:
         for lbl in cands:
             cands[lbl] = self._maybe_persist(cands[lbl])
         conf: dict[str, DataFrame] = {}
+        lfp_conf: dict[str, DataFrame] = {}  # per-label least-fixpoint verdicts
         all_reports: list[DataFrame] = []
 
         for scc in self.schema.strata():
@@ -1085,27 +1127,14 @@ class ValidationEngine:
                 conf[lbl] = self._maybe_persist(self._maybe_flatten(c))
                 all_reports.extend(reps)
             else:
-                # greatest fixpoint: start all-conforming (co-inductive
-                # Unknown-as-ok — ShapesMap.scala:19-23), shrink until stable.
-                for lbl in scc:
-                    conf[lbl] = cands[lbl].withColumn("conforms", F.lit(True)) \
-                                          .localCheckpoint(eager=True)
-                prev_counts = {lbl: conf[lbl].filter("conforms").count() for lbl in scc}
-                last_reports: dict[str, list[DataFrame]] = {}
-                for _ in range(MAX_FIXPOINT_ROUNDS):
-                    changed = False
+                if with_status:
+                    # least fixpoint first (into a scratch dict seeded
+                    # with the dependencies' final verdicts)
+                    scratch = dict(conf)
+                    self._run_fixpoint(scc, cands, scratch, start=False)
                     for lbl in scc:
-                        c, reps = self._evaluate_shape(
-                            self.schema.shapes[lbl], cands[lbl], conf)
-                        c = c.localCheckpoint(eager=True)
-                        n = c.filter("conforms").count()
-                        last_reports[lbl] = reps
-                        conf[lbl] = c
-                        if n != prev_counts[lbl]:
-                            prev_counts[lbl] = n
-                            changed = True
-                    if not changed:
-                        break
+                        lfp_conf[lbl] = scratch[lbl]
+                last_reports = self._run_fixpoint(scc, cands, conf, start=True)
                 for reps in last_reports.values():
                     all_reports.extend(reps)
 
@@ -1115,11 +1144,27 @@ class ValidationEngine:
                        F.col("f_lang").alias("node_lang")]
                       if full_terms else [])
         for lbl, c in conf.items():
+            status_cols = []
+            if with_status:
+                if lbl in lfp_conf:
+                    lfp = lfp_conf[lbl].select(
+                        KEY, F.col("conforms").alias("__lfp"))
+                    c = c.join(lfp, on=KEY, how="left")
+                    status_cols = [
+                        F.when(~F.col("conforms"), F.lit("nonconformant"))
+                        .when(F.coalesce(F.col("__lfp"), F.lit(False)),
+                              F.lit("conformant"))
+                        .otherwise(F.lit("unknown")).alias("status")]
+                else:
+                    status_cols = [
+                        F.when(F.col("conforms"), F.lit("conformant"))
+                        .otherwise(F.lit("nonconformant")).alias("status")]
             piece = c.select(
                 F.col("f_value").alias("node"),
                 F.lit(lbl).alias("shape"),
                 F.col("conforms"),
                 *extra_cols,
+                *status_cols,
             )
             conformance = piece if conformance is None else conformance.unionByName(piece)
 

@@ -250,3 +250,47 @@ def test_linking_still_links_with_cap(spark):
     edges = jaccard_verify(pairs, threshold=0.4)
     got = {tuple(sorted((r.a, r.b))) for r in edges.collect()}
     assert ("Alice Smith", "Alice Smith.") in got
+
+
+# ------------------------------------------------- 6. 4-valued statuses
+
+def test_unknown_status_on_recursive_cycle(spark):
+    """S = { p @S } over a data cycle a→b→a: the greatest fixpoint says
+    conformant, the least says not — the pair is genuinely Unknown
+    (Val.scala's 4-valued lattice) and must surface as such, while a
+    finite chain ending in a violation stays determined."""
+    from shaclex_spark.report import result_shape_map_compact
+
+    rows = [
+        (EX + "a", EX + "p", "iri", EX + "b", None, None),
+        (EX + "b", EX + "p", "iri", EX + "a", None, None),
+        # finite chain: e has no p at all -> false; d, c follow
+        (EX + "c", EX + "p", "iri", EX + "d", None, None),
+        (EX + "d", EX + "p", "iri", EX + "e", None, None),
+    ]
+    shapes = [{
+        "label": "S",
+        "constraints": [{
+            "path": EX + "p", "minCount": 1, "maxCount": 1,
+            "exclusive": True,
+            "node": {"kind": "ref", "label": "S"},
+        }],
+    }]
+    from shaclex_spark.shapes import SchemaDict
+    from shaclex_spark.validation import ValidationEngine
+    from conftest import focus_df, triples_df
+
+    t = triples_df(spark, rows)
+    engine = ValidationEngine(spark, SchemaDict.from_json(shapes), t)
+    focus = focus_df(spark, [(EX + n, "S") for n in "abcde"])
+    res = engine.validate(focus, with_status=True)
+    st = {r["node"]: (r["conforms"], r["status"])
+          for r in res.conformance.collect()}
+    assert st[EX + "a"] == (True, "unknown")
+    assert st[EX + "b"] == (True, "unknown")
+    assert st[EX + "c"] == (False, "nonconformant")
+    assert st[EX + "d"] == (False, "nonconformant")
+    assert st[EX + "e"] == (False, "nonconformant")
+    compact = result_shape_map_compact(res.conformance)
+    assert f"<{EX}a>@?S" in compact
+    assert f"<{EX}c>@!S" in compact
