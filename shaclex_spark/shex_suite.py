@@ -14,9 +14,11 @@ latency).
 
 Skip policy is FEATURE-based, never result-based: an entry is skipped
 only when its traits or its schema's AST use a construct outside the
-implemented fragment (imports/includes, semantic actions, external
-shapes, shape-map tests, group cardinalities, repeated-predicate
-partition semantics, greedy/exhaustive matching). Every attempted
+implemented fragment (semantic actions, external shapes, group
+cardinalities, repeated-predicate partition semantics,
+greedy/exhaustive matching). Imports/includes resolve through the
+ShExJ reader; shape-map entries expand into per-association checks
+against their mf:result JSON. Every attempted
 entry's verdict is compared against the manifest's expected result.
 """
 
@@ -31,11 +33,11 @@ from dataclasses import dataclass, field
 SUITE_ROOT = "/root/reference/src/test/resources/shexTest"
 
 # Traits whose entries exercise semantics outside the flat fragment.
+# (Import/Include resolve through the ShExJ reader's import merging +
+# tripleExprRef substitution, so they are ATTEMPTED, not skipped.)
 SKIP_TRAITS = {
-    "Import", "Include", "imports", "circularImports",
     "SemanticAction", "ExternalSemanticAction", "OrderedSemanticActions",
     "ExternalShape", "shapeExterns", "semActs",
-    "ShapeMap", "map",
     "Greedy", "Exhaustive", "RepeatedGroup",
     # matchability/partition-search behaviors of the spec matcher
     "MissedMatchables",
@@ -52,6 +54,10 @@ class Entry:
     focus: tuple              # (kind, value, dt, lang)
     traits: tuple = ()
     skip: str | None = None   # trait-based skip reason
+    # shape-map entries (sht:map + mf:result JSON files): a list of
+    # (node, shape, expected_conforms) associations; the entry passes
+    # iff EVERY association's verdict matches its expected result.
+    assoc: list | None = None
 
 
 @dataclass
@@ -111,7 +117,31 @@ def load_manifest(root: str = SUITE_ROOT) -> list[Entry]:
             skip = "trait:" + sorted(hit)[0]
         if re.search(r"sht:(semActs|shapeExterns)\s", body):
             skip = skip or "trait:semActs"
-        if fm is None or (re.search(r"sht:map\s", body)):
+        assoc = None
+        mm = re.search(r"sht:map\s+<([^>]*)>", body)
+        if mm:
+            rm = re.search(r"mf:result\s+<([^>]*)>", body)
+            try:
+                vdir = os.path.join(root, "validation")
+                with open(os.path.join(vdir, mm.group(1).split("/")[-1]),
+                          encoding="utf-8") as fh:
+                    map_j = json.load(fh)
+                with open(os.path.join(vdir, rm.group(1).split("/")[-1]),
+                          encoding="utf-8") as fh:
+                    res_j = json.load(fh)
+                assoc = []
+                for a in map_j:
+                    exp = [r["result"] for r in res_j.get(a["node"], [])
+                           if r["shape"] == a["shape"]]
+                    assoc.append((a["node"], a["shape"],
+                                  exp[0] if exp else False))
+                focus = ("iri", "", None, None)
+            except Exception:
+                skip = skip or "shape-map-parse"
+                focus = ("iri", "", None, None)
+        if assoc is not None:
+            pass
+        elif fm is None:
             skip = skip or "shape-map-entry"
             focus = ("iri", "", None, None)
         elif fm.group(1) is not None:
@@ -130,9 +160,13 @@ def load_manifest(root: str = SUITE_ROOT) -> list[Entry]:
                 focus = ("literal", val, dt, None)
         schema_rel = sm.group(1)
         data_rel = dm.group(1)
+        # shape-map entries: the check is "our result map equals the
+        # mf:result JSON" (the sht:ValidationFailure type merely marks
+        # that SOME association is non-conformant, which the results
+        # file already encodes) — so expected is always True for them.
         entries.append(Entry(
             name=name,
-            expected=(etype == "ValidationTest"),
+            expected=True if assoc is not None else (etype == "ValidationTest"),
             schema=os.path.normpath(
                 os.path.join(root, "validation", schema_rel)),
             data=os.path.normpath(os.path.join(root, "validation", data_rel)),
@@ -140,6 +174,7 @@ def load_manifest(root: str = SUITE_ROOT) -> list[Entry]:
             focus=focus,
             traits=traits,
             skip=skip,
+            assoc=assoc,
         ))
     return entries
 
@@ -164,7 +199,8 @@ def load_schema(path: str):
     try:
         if os.path.exists(jpath):
             with open(jpath, encoding="utf-8") as fh:
-                out = parse_shexj(fh.read())
+                out = parse_shexj(fh.read(),
+                                  base_dir=os.path.dirname(jpath))
         else:
             from .shexc import parse_shexc
             schema, _pfx = parse_shexc(open(path, encoding="utf-8").read())
@@ -239,6 +275,17 @@ def _build_group(spark, gid: int, schema_path: str, data_path: str,
     runnable: list[Entry] = []
     resolved: dict[str, str] = {}
     for e_ in group:
+        if e_.assoc is not None:
+            missing = [shp for _, shp, _ in e_.assoc
+                       if shp not in schema.shapes]
+            if missing:
+                outs.append(Outcome(e_.name, e_.expected, None,
+                                    skip="shape-not-found"))
+                continue
+            for n, shp, _exp in e_.assoc:
+                focus_rows.append((n, shp, "node", "iri", None, None))
+            runnable.append(e_)
+            continue
         label = e_.shape if e_.shape is not None else start
         if label is not None and label not in schema.shapes:
             # relative-IRI shape ref (1dot-relative): the manifest and
@@ -327,6 +374,16 @@ def run_suite(spark, root: str = SUITE_ROOT, max_workers: int = 12,
             for g in futs2[f]:
                 _, runnable, resolved = by_gid[g]
                 for e_ in runnable:
+                    if e_.assoc is not None:
+                        gots = [conf_map.get((g, n, None, None, shp))
+                                for n, shp, _ in e_.assoc]
+                        if any(x is None for x in gots):
+                            got = None
+                        else:
+                            got = all(x == exp for x, (_, _, exp)
+                                      in zip(gots, e_.assoc))
+                        results.append(Outcome(e_.name, e_.expected, got))
+                        continue
                     label = resolved[e_.name]
                     k, v, dt, lang = e_.focus
                     got = conf_map.get(
@@ -370,6 +427,16 @@ def _run_group_collect(spark, gid: int, schema_path: str, data_path: str,
     conf_map = {(r["node"], r["node_dt"], r["node_lang"], r["shape"]):
                 r["conforms"] for r in rows}
     for e_ in runnable:
+        if e_.assoc is not None:
+            gots = [conf_map.get((n, None, None, shp))
+                    for n, shp, _ in e_.assoc]
+            if any(x is None for x in gots):
+                got = None
+            else:
+                got = all(x == exp for x, (_, _, exp)
+                          in zip(gots, e_.assoc))
+            outs.append(Outcome(e_.name, e_.expected, got))
+            continue
         label = resolved[e_.name]
         k, v, dt, lang = e_.focus
         got = conf_map.get((v, dt if k == "literal" else None,
@@ -396,6 +463,8 @@ def _worker_main(idx: int, in_path: str, out_path: str) -> None:
         group = [Entry(**g) for g in group_dicts]
         for e_ in group:
             e_.focus = tuple(e_.focus)
+            if e_.assoc is not None:
+                e_.assoc = [tuple(a) for a in e_.assoc]
         try:
             outs.extend(_run_group_collect(spark, gid, s, d, group))
         except Exception as e:  # never lose a group silently

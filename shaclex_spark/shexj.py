@@ -30,6 +30,7 @@ expression (which require the spec's partition-matching semantics).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from .shapes import SchemaDict
@@ -50,10 +51,57 @@ class UnsupportedShExJ(ValueError):
         self.feature = feature
 
 
+def _merge_imports(j: dict, base_dir: str | None,
+                   seen: set[str]) -> list[dict]:
+    """Schema imports (ShEx spec / ResolvedSchema.resolve in the
+    reference's ShExWrapper.scala:35-53): merge the shape declarations
+    of every imported schema document. Import names resolve to
+    sibling .json files; circular imports terminate via the seen-set."""
+    shapes: list[dict] = []
+    for imp in j.get("imports", []) or []:
+        if base_dir is None:
+            raise UnsupportedShExJ("imports")
+        name = imp.split("/")[-1]
+        if name in seen:
+            continue
+        seen.add(name)
+        path = os.path.join(base_dir, name + ".json")
+        if not os.path.exists(path):
+            raise UnsupportedShExJ("imports")
+        with open(path, encoding="utf-8") as fh:
+            sub = json.load(fh)
+        shapes.extend(_merge_imports(sub, base_dir, seen))
+    shapes.extend(j.get("shapes", []))
+    return shapes
+
+
+def _index_triple_exprs(shapes: list[dict]) -> dict[str, dict]:
+    """id → tripleExpr for resolving tripleExprRefs (ShEx inclusion
+    `&<label>`: a string in expression position)."""
+    index: dict[str, dict] = {}
+
+    def walk(o: Any) -> None:
+        if isinstance(o, dict):
+            if (o.get("type") in ("TripleConstraint", "EachOf", "OneOf")
+                    and "id" in o):
+                index[o["id"]] = o
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for x in o:
+                walk(x)
+
+    for sh in shapes:
+        walk(sh)
+    return index
+
+
 class _Conv:
     def __init__(self) -> None:
         self.specs: dict[str, dict] = {}
         self.labels_declared: set[str] = set()
+        self.te_index: dict[str, dict] = {}
+        self._te_stack: set[str] = set()
         self._n = 0
 
     def _fresh(self) -> str:
@@ -62,19 +110,22 @@ class _Conv:
 
     # ---------------------------------------------------------- schema
 
-    def convert(self, j: dict) -> tuple[list[dict], str | None]:
-        if j.get("imports"):
-            raise UnsupportedShExJ("imports")
+    def convert(self, j: dict, base_dir: str | None = None
+                ) -> tuple[list[dict], str | None]:
         if j.get("startActs"):
             for act in j["startActs"]:
                 if act.get("code") is not None:
                     raise UnsupportedShExJ("startActs")
-        for sh in j.get("shapes", []):
+        all_shapes = _merge_imports(j, base_dir, set())
+        self.te_index = _index_triple_exprs(all_shapes)
+        for sh in all_shapes:
             self.labels_declared.add(sh["id"])
         start_label = None
-        for sh in j.get("shapes", []):
+        for sh in all_shapes:
             decl = dict(sh)
             label = decl.pop("id")
+            if label in self.specs:
+                continue  # first declaration wins across imports
             self.shape_decl(decl, label)
         start = j.get("start")
         if start is not None:
@@ -184,8 +235,18 @@ class _Conv:
 
     def _triple_expr(self, expr: Any, constraints: list[dict],
                      one_of: list[list[dict]], extra: list[str]) -> None:
-        if isinstance(expr, str):  # tripleExprRef
-            raise UnsupportedShExJ("tripleExprRef")
+        if isinstance(expr, str):  # tripleExprRef (ShEx inclusion &<l>)
+            if expr not in self.te_index:
+                raise UnsupportedShExJ("tripleExprRef")
+            if expr in self._te_stack:
+                raise UnsupportedShExJ("tripleExprRef-cycle")
+            self._te_stack.add(expr)
+            try:
+                self._triple_expr(self.te_index[expr], constraints,
+                                  one_of, extra)
+            finally:
+                self._te_stack.discard(expr)
+            return
         t = expr.get("type")
         if t == "TripleConstraint":
             constraints.append(self.triple_constraint(expr, extra))
@@ -389,11 +450,13 @@ def _num_str(x: Any) -> str:
     return repr(x)
 
 
-def parse_shexj(text_or_obj: str | dict) -> tuple[SchemaDict, str | None]:
-    """ShExJ document → (SchemaDict, start shape label or None)."""
+def parse_shexj(text_or_obj: str | dict,
+                base_dir: str | None = None) -> tuple[SchemaDict, str | None]:
+    """ShExJ document → (SchemaDict, start shape label or None).
+    ``base_dir`` enables resolving `imports` to sibling .json files."""
     j = json.loads(text_or_obj) if isinstance(text_or_obj, str) else text_or_obj
     conv = _Conv()
-    specs, start = conv.convert(j)
+    specs, start = conv.convert(j, base_dir)
     for s in specs:
         s.pop("_has_triple_expr", None)
     return SchemaDict.from_json(specs), start

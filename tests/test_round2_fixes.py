@@ -294,3 +294,32 @@ def test_unknown_status_on_recursive_cycle(spark):
     compact = result_shape_map_compact(res.conformance)
     assert f"<{EX}a>@?S" in compact
     assert f"<{EX}c>@!S" in compact
+
+
+# ---------------------------------------------- 7. SQL node selector
+
+def test_sql_node_selector(spark):
+    """The shape map's spark.sql selector (the SPARQL-selector
+    equivalent — ValidationTrigger's SPARQL node selector re-expressed
+    over the triples view) feeds validation like any other selector."""
+    from shaclex_spark.triggers import shape_map_focus
+
+    rows = [
+        (EX + "a", EX + "p", "literal", "x", XSD_STRING, None),
+        (EX + "b", EX + "q", "literal", "y", XSD_STRING, None),
+    ]
+    t = triples_df(spark, rows)
+    t.createOrReplaceTempView("kg_t")
+    focus = shape_map_focus(spark, t, [
+        {"sql": f"SELECT DISTINCT subj AS node FROM kg_t "
+                f"WHERE pred = '{EX}p'", "shape": "S"},
+    ])
+    got = {(r.node, r.shape, r.selector) for r in focus.collect()}
+    assert got == {(EX + "a", "S", "sparql")}
+    schema = SchemaDict.from_json([{
+        "label": "S",
+        "constraints": [{"path": EX + "p", "minCount": 1}]}])
+    engine = ValidationEngine(spark, schema, t)
+    res = engine.validate(focus)
+    conf = {r["node"]: r["conforms"] for r in res.conformance.collect()}
+    assert conf == {EX + "a": True}
