@@ -159,28 +159,77 @@ def _small_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
+DRIVER_CC_MAX_EDGES = 500_000  # small-graph fast path bound
+
+
+def _driver_union_find(edge_rows: list, vert_rows: list) -> list[tuple]:
+    """Union-find on the driver — EXACTLY the same output as the
+    distributed star contraction (components are algorithm-independent
+    and the label is the component min either way)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label as root
+    comp: dict[str, str] = {}
+    members: dict[str, list] = {}
+    for x in vert_rows:
+        members.setdefault(find(x), []).append(x)
+    out = []
+    for root, xs in members.items():
+        lo = min(xs + [root])
+        for x in xs:
+            out.append((x, lo))
+    return out
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          max_rounds: int = MAX_CC_ROUNDS,
-                         return_rounds: bool = False):
+                         return_rounds: bool = False,
+                         driver_threshold: int = DRIVER_CC_MAX_EDGES):
     """(node, component) with component = min node id in the component.
 
-    Alternating large-star/small-star edge contraction (Kiveris et al.,
-    'Connected Components in MapReduce and Beyond' — public algorithm):
-    converges in O(log n) rounds REGARDLESS of component diameter, so a
-    mention chain A~B~C~… (the skew-linked shape naive min-label
-    propagation walks one hop per round) finishes logarithmically.
-    Driver loop with localCheckpoint per round to cut lineage.
+    Small graphs (≤ ``driver_threshold`` edges — the common case when
+    the mention dimension is a bounded vocabulary) run a driver-side
+    union-find: identical output, none of the per-round Spark-job
+    latency that dominates a local run (Amdahl's serial fraction).
+
+    Large graphs run alternating large-star/small-star edge contraction
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond' —
+    public algorithm): converges in O(log n) rounds REGARDLESS of
+    component diameter, so a mention chain A~B~C~… (the skew-linked
+    shape naive min-label propagation walks one hop per round) finishes
+    logarithmically. Driver loop with localCheckpoint per round to cut
+    lineage.
 
     ``return_rounds=True`` additionally returns the number of
     large+small star rounds executed (for convergence tests)."""
+    spark = vertices.sparkSession
     v = vertices.select(F.col(vertices.columns[0]).alias("node")).distinct()
     e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
     rounds = 0
-    if e.isEmpty():
+    n_edges = e.count()
+    if n_edges == 0:
         labels = v.select("node", F.col("node").alias("comp"))
         return (labels, rounds) if return_rounds else labels
+    if n_edges <= driver_threshold:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        verts = [r["node"] for r in v.collect()]
+        if len(verts) <= driver_threshold:
+            labels = spark.createDataFrame(
+                _driver_union_find(pairs, verts), "node string, comp string")
+            return (labels, rounds) if return_rounds else labels
     # order-independent edge-set fingerprint: one tiny agg per round
     # (ANSI-safe bit_xor, no overflow) — convergence = fingerprint+count
     # stable across a large-star/small-star pair.
@@ -207,6 +256,49 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     return (labels, rounds) if return_rounds else labels
 
 
+def _driver_link(mentions: list[str], threshold: float,
+                 n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                 k: int = SHINGLE_K) -> list[tuple]:
+    """Driver-side mirror of candidate_pairs→jaccard_verify→CC for a
+    small mention vocabulary: md5-derived minhash (deterministic across
+    runs/processes, unlike Python's salted hash()), banded buckets,
+    exact shingle-Jaccard on candidates, union-find components."""
+    import hashlib
+
+    def shingles(m: str) -> frozenset:
+        p = "^" + m + "$"
+        return frozenset(p[i:i + k] for i in range(max(len(p) - k + 1, 1)))
+
+    def h64(s: str, seed: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{seed}|{s}".encode()).digest()[:8], "big")
+
+    sh = {m: shingles(m) for m in mentions}
+    r = n_hashes // n_bands
+    buckets: dict[tuple, list] = {}
+    for m in mentions:
+        sig = [min(h64(s, j) for s in sh[m]) for j in range(n_hashes)]
+        for b in range(n_bands):
+            key = (b, tuple(sig[b * r:(b + 1) * r]))
+            buckets.setdefault(key, []).append(m)
+    edges = []
+    seen = set()
+    for key, ms in buckets.items():
+        if len(ms) > MAX_BUCKET_SIZE:
+            continue  # hot-bucket cap, mirroring _cap_buckets
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = sorted((ms[i], ms[j]))
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= threshold:
+                    edges.append((a, b))
+    return _driver_union_find(edges, mentions)
+
+
 def canonicalize_triples(triples: DataFrame,
                          mention_prefix: str = MENTION_PREFIX,
                          entity_prefix: str = ENTITY_PREFIX,
@@ -225,23 +317,42 @@ def canonicalize_triples(triples: DataFrame,
                            & F.col("obj_value").startswith(mention_prefix)) \
         .select(F.col("obj_value").substr(F.lit(mlen + 1), F.lit(10_000)).alias("mention"))
     # distinct mentions are a dimension ≪ triples but NOT driver-sized
-    # at 100 TB: size the partition count from the observed mention
-    # count (≈100k mentions/partition) instead of a hardcoded collapse
-    # that would serialize the whole linking stage on a big corpus.
-    mentions = subj_m.unionByName(obj_m).distinct().localCheckpoint(eager=True)
+    # at 100 TB: size the path from the observed mention count. The
+    # distinct shuffle (the real parallel work: one scan of the triple
+    # candidates) happens either way; what differs is how many SERIAL
+    # driver barriers follow it — on a local runner each Spark action
+    # costs fixed latency that lands straight in Amdahl's serial term.
+    spark = triples.sparkSession
+    mentions = subj_m.unionByName(obj_m).distinct().persist()
     n_mentions = mentions.count()
-    n_parts = max(1, min(int(n_mentions / 100_000) + 1,
-                         mentions.sparkSession.sparkContext.defaultParallelism * 4))
-    if n_parts < mentions.rdd.getNumPartitions():
-        mentions = mentions.coalesce(n_parts).localCheckpoint(eager=True)
 
-    pairs = candidate_pairs(mentions)
-    edges = jaccard_verify(pairs, threshold)
-    comps = connected_components(edges, mentions.select(F.col("mention")))
-    mapping = comps.select(
-        F.concat(F.lit(mention_prefix), F.col("node")).alias("mention_iri"),
-        F.concat(F.lit(entity_prefix), F.col("comp")).alias("canonical_iri"),
-    ).localCheckpoint(eager=True)
+    if n_mentions <= 100_000:
+        # small-vocabulary fast path (bounded mention population): pull
+        # the mention strings once and run the SAME blocking pipeline
+        # (char-shingle minhash → banded buckets → exact-Jaccard verify
+        # → connected components) entirely on the driver. Precision is
+        # identical (exact verify); recall is equivalent (same band/row
+        # geometry). One collect instead of ~7 eager Spark barriers,
+        # each of which lands in Amdahl's serial term on a local run.
+        rows = [r["mention"] for r in mentions.collect()]
+        comp_rows = _driver_link(rows, threshold)
+        mapping = spark.createDataFrame(
+            [(mention_prefix + n, entity_prefix + c) for n, c in comp_rows],
+            "mention_iri string, canonical_iri string")
+    else:
+        n_parts = max(1, min(int(n_mentions / 100_000) + 1,
+                             spark.sparkContext.defaultParallelism * 4))
+        big = mentions.coalesce(n_parts) \
+            if n_parts < mentions.rdd.getNumPartitions() else mentions
+        pairs = candidate_pairs(big)
+        edges = jaccard_verify(pairs, threshold)
+        comps = connected_components(edges, big.select(F.col("mention")))
+        # lazy persist: the mapping is read twice by the rewrite joins;
+        # the cache prevents re-running CC.
+        mapping = comps.select(
+            F.concat(F.lit(mention_prefix), F.col("node")).alias("mention_iri"),
+            F.concat(F.lit(entity_prefix), F.col("comp")).alias("canonical_iri"),
+        ).persist()
 
     # no forced broadcast: the mapping is mention-sized (can be huge at
     # 100 TB); AQE broadcasts it automatically whenever it actually

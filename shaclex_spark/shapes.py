@@ -312,6 +312,40 @@ class Target:
     lang: Optional[str] = None
 
 
+@dataclass(frozen=True)
+class GroupBlock:
+    """ShEx group cardinality `( TC... ){m,n}` over simple {1,1} TCs.
+
+    kind='eachOf': the group repeats k times, each repetition consuming
+    one arc per member ⇒ all members' matching-arc counts equal k.
+    kind='oneOf': each repetition consumes one arc of ANY member ⇒ the
+    SUM of matching-arc counts is k. Conformance: min ≤ k ≤ max, plus
+    zero non-matching arcs on member predicates (two-count TC
+    semantics). A `?` group with zero arcs (shexTest 'skipped') passes
+    via min=0.
+    """
+
+    kind: str                                # eachOf | oneOf
+    min_count: int
+    max_count: Optional[int]                 # None = unbounded
+    members: tuple[PropertyConstraint, ...]
+
+
+def parse_group_block(spec: dict[str, Any]) -> GroupBlock:
+    mx = spec.get("maxCount")
+    members = tuple(parse_property(p) for p in spec["members"])
+    for pc in members:
+        if not pc.path.is_simple_pred or pc.min_count != 1 or pc.max_count != 1:
+            raise SchemaError(
+                "group blocks support simple {1,1} triple constraints only")
+    return GroupBlock(
+        kind=spec.get("kind", "eachOf"),
+        min_count=int(spec.get("minCount", 1)),
+        max_count=None if mx in (None, "*") else int(mx),
+        members=members,
+    )
+
+
 @dataclass
 class Shape:
     label: str
@@ -321,6 +355,8 @@ class Shape:
     # ShEx OneOf in the flat form (SURVEY.md §2.4): exclusive choice
     # among groups of triple constraints — exactly one group must hold.
     one_of: list[list[PropertyConstraint]] = field(default_factory=list)
+    # ShEx group cardinality blocks `( TC... ){m,n}` (see GroupBlock)
+    group_blocks: list[GroupBlock] = field(default_factory=list)
     closed: bool = False
     # extra predicates tolerated by CLOSED (sh:ignoredProperties / ShEx EXTRA)
     ignored: list[str] = field(default_factory=list)
@@ -341,6 +377,9 @@ class Shape:
         for group in self.one_of:
             for p in group:
                 out.extend(p.refs())
+        for blk in self.group_blocks:
+            for p in blk.members:
+                out.extend(p.refs())
         return out
 
     def classes(self) -> set[str]:
@@ -349,6 +388,9 @@ class Shape:
             out |= ne.classes()
         for p in self.properties:
             out |= p.classes()
+        for blk in self.group_blocks:
+            for p in blk.members:
+                out |= p.classes()
         return out
 
     def declared_preds(self) -> set[str]:
@@ -362,6 +404,9 @@ class Shape:
             for p in group:
                 if p.path.kind == "pred":
                     out.add(p.path.iri)
+        for blk in self.group_blocks:
+            for p in blk.members:
+                out.add(p.path.iri)
         return out
 
 
@@ -378,6 +423,8 @@ def parse_shape(spec: dict[str, Any]) -> Shape:
         properties=[parse_property(p) for p in spec.get("constraints", [])],
         one_of=[[parse_property(p) for p in group]
                 for group in spec.get("oneOf", [])],
+        group_blocks=[parse_group_block(b)
+                      for b in spec.get("groupBlocks", [])],
         closed=bool(spec.get("closed", False)),
         ignored=list(spec.get("extra", spec.get("ignored", []))),
         deactivated=bool(spec.get("deactivated", False)),

@@ -150,9 +150,10 @@ class _Parser:
         self.expect("{")
         groups: list[list[dict]] = [[]]
         one_of_inline: list[list[list[dict]]] = []
+        group_blocks: list[dict] = []
         while self.peek() != "}":
             if self.peek() == "(":
-                # inline OneOf group: ( tc... | tc... ) inside an EachOf
+                # inline group: ( tc... | tc... ) or ( tc...; tc... ){m,n}
                 self.next()
                 inner: list[list[dict]] = [[]]
                 while self.peek() != ")":
@@ -163,6 +164,22 @@ class _Parser:
                         self.next()
                         inner.append([])
                 self.expect(")")
+                gmin, gmax = self.parse_cardinality()
+                if (gmin, gmax) != (1, 1):
+                    # group cardinality → shapes.GroupBlock semantics
+                    if len(inner) == 1:
+                        kind, members = "eachOf", inner[0]
+                    elif all(len(alt) == 1 for alt in inner):
+                        kind, members = "oneOf", [alt[0] for alt in inner]
+                    else:
+                        raise ShExCError(
+                            "mixed ;/| group with cardinality unsupported")
+                    group_blocks.append({
+                        "kind": kind, "minCount": gmin, "maxCount": gmax,
+                        "members": members})
+                    if self.peek() == ";":
+                        self.next()
+                    continue
                 one_of_inline.append(inner)
             else:
                 tc = self.parse_triple_constraint()
@@ -188,6 +205,8 @@ class _Parser:
                     raise ShExCError(
                         f"shape {label}: multiple OneOf blocks unsupported")
                 spec["oneOf"] = inner
+        if group_blocks:
+            spec["groupBlocks"] = group_blocks
         if node_constraints:
             spec["nodeConstraints"] = node_constraints
         spec["closed"] = closed

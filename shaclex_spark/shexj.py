@@ -165,10 +165,18 @@ class _Conv:
                              if isinstance(m, dict) and m.get("type") == "Shape"]
             others = [m for m in expr["shapeExprs"]
                       if not (isinstance(m, dict) and m.get("type") == "Shape")]
-            if len(shape_members) > 1:
-                raise UnsupportedShExJ("ShapeAnd-multiple-triple-exprs")
-            for m in shape_members:
+            # first Shape member merges into this spec; additional Shape
+            # members become synthetic shapes conjoined by ref — ShEx
+            # ShapeAnd matches each shape expression INDEPENDENTLY
+            # against the neighborhood, so conjunction of memberships is
+            # the exact semantics (suite 1dotShapeAND1dot3X).
+            for m in shape_members[:1]:
                 self._fill_shape(spec, m)
+            for m in shape_members[1:]:
+                label = self._fresh()
+                self.shape_decl(m, label)
+                spec.setdefault("nodeConstraints", []).append(
+                    {"kind": "ref", "label": label})
             for m in others:
                 spec.setdefault("nodeConstraints", []).append(
                     self.node_expr(m))
@@ -202,7 +210,12 @@ class _Conv:
         expr = sh.get("expression")
         if expr is not None:
             self._triple_expr(expr, constraints, one_of, extra)
-        spec["constraints"] = constraints
+        blocks = [c for c in constraints if c.pop("__group_block__", False)]
+        block_ids = {id(b) for b in blocks}
+        spec["constraints"] = [c for c in constraints
+                               if id(c) not in block_ids]
+        if blocks:
+            spec["groupBlocks"] = blocks
         if one_of:
             spec["oneOf"] = one_of
         self._check_repeats(spec)
@@ -224,6 +237,8 @@ class _Conv:
             return out
 
         base = keys(spec.get("constraints", []))
+        for blk in spec.get("groupBlocks", []):
+            base += keys(blk["members"])
         if len(base) != len(set(base)):
             raise UnsupportedShExJ("repeated-predicate")
         for group in spec.get("oneOf", []):
@@ -251,15 +266,17 @@ class _Conv:
         if t == "TripleConstraint":
             constraints.append(self.triple_constraint(expr, extra))
             return
+        if t in ("EachOf", "OneOf") and (expr.get("min") is not None
+                                         or expr.get("max") is not None):
+            # group cardinality ( TC... ){m,n}: supported when every
+            # member is a simple {1,1} TC (shapes.GroupBlock semantics)
+            self._group_block(expr, constraints, extra)
+            return
         if t == "EachOf":
-            if expr.get("min") is not None or expr.get("max") is not None:
-                raise UnsupportedShExJ("group-cardinality")
             for sub in expr["expressions"]:
                 self._triple_expr(sub, constraints, one_of, extra)
             return
         if t == "OneOf":
-            if expr.get("min") is not None or expr.get("max") is not None:
-                raise UnsupportedShExJ("group-cardinality")
             if one_of:
                 raise UnsupportedShExJ("multiple-oneofs")
             for alt in expr["expressions"]:
@@ -271,6 +288,32 @@ class _Conv:
                 one_of.append(alt_cs)
             return
         raise UnsupportedShExJ(f"tripleExpr-{t}")
+
+    def _group_block(self, expr: dict, constraints: list[dict],
+                     extra: list[str]) -> None:
+        members: list[dict] = []
+        for sub in expr["expressions"]:
+            if isinstance(sub, str):
+                sub = self.te_index.get(sub)
+                if sub is None:
+                    raise UnsupportedShExJ("tripleExprRef")
+            if not (isinstance(sub, dict)
+                    and sub.get("type") == "TripleConstraint"):
+                raise UnsupportedShExJ("group-cardinality")
+            tc = self.triple_constraint(sub, extra)
+            if (not isinstance(tc["path"], str) or tc["minCount"] != 1
+                    or tc["maxCount"] != 1):
+                raise UnsupportedShExJ("group-cardinality")
+            members.append(tc)
+        mn = expr.get("min", 1)
+        mx = expr.get("max", 1)
+        constraints.append({
+            "__group_block__": True,
+            "kind": "eachOf" if expr["type"] == "EachOf" else "oneOf",
+            "minCount": mn,
+            "maxCount": None if mx == -1 else mx,
+            "members": members,
+        })
 
     def triple_constraint(self, tc: dict, extra: list[str]) -> dict:
         for act in tc.get("semActs", []) or []:

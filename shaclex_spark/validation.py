@@ -503,6 +503,10 @@ class ValidationEngine:
                 for pc in group:
                     for ref in _collect_refs(pc.node):
                         edges.append((lbl, ref, pc))
+            for blk in sh.group_blocks:
+                for pc in blk.members:
+                    for ref in _collect_refs(pc.node):
+                        edges.append((lbl, ref, pc))
         return edges
 
     def _derive_candidates(self, fa: DataFrame,
@@ -633,7 +637,9 @@ class ValidationEngine:
 
         if shape.deactivated or (not shape.node_constraints
                                  and not shape.properties
-                                 and not shape.one_of and not shape.closed):
+                                 and not shape.one_of
+                                 and not shape.group_blocks
+                                 and not shape.closed):
             return cand.withColumn("conforms", F.lit(True)), reports
 
         ok_flags: list[tuple[str, DataFrame]] = []  # (flag column name, keyed DF)
@@ -746,6 +752,12 @@ class ValidationEngine:
             ))
             ok_flags.append(("__oneof_ok",
                              merged.select(KEY, one_ok.alias("__oneof_ok"))))
+
+        # ShEx group-cardinality blocks ( TC... ){m,n}
+        for bi, blk in enumerate(shape.group_blocks):
+            flag = f"__grp_{bi}_ok"
+            dfg = self._eval_group_block(shape, cand, conf, blk, flag, reports)
+            ok_flags.append((flag, dfg))
 
         # pairwise sibling constraints
         for i, pc in enumerate(shape.properties):
@@ -925,6 +937,75 @@ class ValidationEngine:
         if pc.unique_lang:
             reports.append(base_cols("UniqueLangConstraintComponent",
                                      F.col(names["nlang"]) != F.col(names["ndlang"])))
+
+    # -- group-cardinality blocks ----------------------------------------------
+
+    def _eval_group_block(self, shape: Shape, cand: DataFrame,
+                          conf: dict[str, DataFrame], blk,
+                          flag: str, reports: list[DataFrame]) -> DataFrame:
+        """( TC... ){m,n} — one left join on the block's predicates +
+        one grouped conditional aggregate (same physical shape as the
+        fused simple-pred plan). Repetition count k:
+          eachOf: every member consumes one arc per repetition ⇒ all
+                  members' matching counts must be EQUAL (= k);
+          oneOf:  each repetition consumes one arc of any member ⇒
+                  k = sum of matching counts.
+        Conformance: min ≤ k ≤ max and no non-matching arcs on member
+        predicates (two-count semantics). shexTest 'skipped' (card `?`,
+        zero arcs) passes through min=0, not a special case."""
+        preds = [pc.path.iri for pc in blk.members]
+        ts = (self.triples.filter(F.col("pred").isin(preds))
+              .select("subj", "pred", "obj_kind", "obj_value",
+                      "obj_dt", "obj_lang"))
+        arcs = cand.join(ts, on=cand["f_value"] == ts["subj"], how="left") \
+                   .drop("subj")
+        refs: set[str] = set()
+        classes: set[str] = set()
+        for pc in blk.members:
+            refs |= _collect_refs(pc.node)
+            classes |= _collect_classes(pc.node)
+        arcs, ref_cols, cls_cols = self._join_term_bools(
+            arcs, "obj_", refs, classes, conf)
+        tc = self._term_cols("obj_", ref_cols, cls_cols)
+
+        aggs: list[Column] = []
+        for i, pc in enumerate(blk.members):
+            on_path = F.col("pred") == pc.path.iri
+            v_ok = compile_expr(pc.node, tc)
+            aggs.append(F.count(F.when(on_path & v_ok, F.lit(1)))
+                        .alias(f"__gok_{i}"))
+            aggs.append(F.count(F.when(on_path & ~v_ok, F.lit(1)))
+                        .alias(f"__gbad_{i}"))
+        grouped = arcs.groupBy(KEY, "f_value").agg(*aggs)
+
+        bad = F.lit(0)
+        for i in range(len(blk.members)):
+            bad = bad + F.col(f"__gbad_{i}")
+        oks = [F.col(f"__gok_{i}") for i in range(len(blk.members))]
+        if blk.kind == "oneOf":
+            k = oks[0]
+            for c in oks[1:]:
+                k = k + c
+            counts_consistent = F.lit(True)
+        else:  # eachOf: all member counts equal
+            k = oks[0]
+            counts_consistent = F.lit(True)
+            for c in oks[1:]:
+                counts_consistent = counts_consistent & (c == k)
+        in_range = k >= blk.min_count
+        if blk.max_count is not None:
+            in_range = in_range & (k <= blk.max_count)
+        ok = (bad == 0) & counts_consistent & in_range
+        reports.append(grouped.filter(~ok).select(
+            F.col("f_value").alias("focus_node"),
+            F.lit(shape.label).alias("source_shape"),
+            F.lit("GroupCardinalityConstraintComponent").alias("component"),
+            F.lit(shape.severity).alias("severity"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("|".join(preds)).alias("path"),
+            F.lit(shape.message).cast("string").alias("message"),
+        ))
+        return grouped.select(KEY, ok.alias(flag))
 
     # -- complex-path property ------------------------------------------------
 

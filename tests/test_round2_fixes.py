@@ -187,7 +187,11 @@ def test_cc_chain_logarithmic_rounds(spark):
     edges = spark.createDataFrame(
         [(ids[i], ids[i + 1]) for i in range(n - 1)], "a string, b string")
     vertices = spark.createDataFrame([(i,) for i in ids], "mention string")
-    labels, rounds = connected_components(edges, vertices, return_rounds=True)
+    # driver_threshold=0 forces the DISTRIBUTED star-contraction path
+    # (small graphs normally take the driver union-find fast path)
+    labels, rounds = connected_components(edges, vertices,
+                                          return_rounds=True,
+                                          driver_threshold=0)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert set(got.values()) == {"m000"}
     assert len(got) == n
@@ -323,3 +327,48 @@ def test_sql_node_selector(spark):
     res = engine.validate(focus)
     conf = {r["node"]: r["conforms"] for r in res.conformance.collect()}
     assert conf == {EX + "a": True}
+
+
+# ------------------------------------------------ 8. group cardinality
+
+def test_group_cardinality_blocks(spark):
+    """ShEx `( TC... ){m,n}` (shapes.GroupBlock): eachOf groups need
+    EQUAL per-member match counts in [m,n]; oneOf groups need the SUM
+    in [m,n]; two-count semantics still rejects non-matching arcs."""
+    from shaclex_spark.shexc import parse_shexc
+
+    schema, _ = parse_shexc("""
+<http://e/S> { ( <http://e/a> .; <http://e/b> . ){2,3} }
+<http://e/T> { ( <http://e/p> .| <http://e/q> . ){2} }
+""")
+    for sh in schema.shapes.values():
+        sh.closed = False  # spec-mode ShEx
+    rows = []
+    # ok2: 2 a + 2 b → k=2 ∈ [2,3]
+    for i in range(2):
+        rows += [(EX + "ok2", "http://e/a", "iri", EX + f"x{i}", None, None),
+                 (EX + "ok2", "http://e/b", "iri", EX + f"y{i}", None, None)]
+    # uneq: 2 a + 1 b → unequal counts
+    rows += [(EX + "uneq", "http://e/a", "iri", EX + "u1", None, None),
+             (EX + "uneq", "http://e/a", "iri", EX + "u2", None, None),
+             (EX + "uneq", "http://e/b", "iri", EX + "u3", None, None)]
+    # over: 4 of each → k=4 ∉ [2,3]
+    for i in range(4):
+        rows += [(EX + "over", "http://e/a", "iri", EX + f"o{i}", None, None),
+                 (EX + "over", "http://e/b", "iri", EX + f"p{i}", None, None)]
+    # oneOf: p+q = 2 → ok; single p → k=1 fail
+    rows += [(EX + "mix", "http://e/p", "iri", EX + "m1", None, None),
+             (EX + "mix", "http://e/q", "iri", EX + "m2", None, None),
+             (EX + "one", "http://e/p", "iri", EX + "m3", None, None)]
+    t = triples_df(spark, rows)
+    engine = ValidationEngine(spark, schema, t)
+    focus = focus_df(spark, [(EX + n, "http://e/S") for n in ("ok2", "uneq", "over")]
+                     + [(EX + n, "http://e/T") for n in ("mix", "one")])
+    res = engine.validate(focus)
+    conf = {(r["node"], r["shape"]): r["conforms"]
+            for r in res.conformance.collect()}
+    assert conf[(EX + "ok2", "http://e/S")] is True
+    assert conf[(EX + "uneq", "http://e/S")] is False
+    assert conf[(EX + "over", "http://e/S")] is False
+    assert conf[(EX + "mix", "http://e/T")] is True
+    assert conf[(EX + "one", "http://e/T")] is False

@@ -4,7 +4,7 @@ Reference: src/test/resources/shexTest/validation/manifest.ttl (1088
 entries: 578 sht:ValidationTest + 510 sht:ValidationFailure), runner
 semantics per src/main/scala/es/weso/shaclex/ShExTestRunner.scala:16-34.
 
-Committed floor (round 2): ≥1030 attempted, ZERO wrong verdicts and
+Committed floor (round 2): ≥1051 attempted, ZERO wrong verdicts and
 zero engine errors among attempted; every skip is feature-classified
 (imports/semActs/external/shape-map/group-cardinality/partition
 semantics), never result-based.
@@ -19,7 +19,7 @@ from shaclex_spark.shex_suite import (
     scorecard,
 )
 
-ATTEMPTED_FLOOR = 1030
+ATTEMPTED_FLOOR = 1051
 
 
 def test_manifest_loads_all_entries():
@@ -49,8 +49,7 @@ def test_shexj_loads_suite_schemas():
             assert feat is not None, f"unnamed schema failure for {e.schema}: {ex}"
             unsupported.add(feat)
     assert ok >= 280
-    assert unsupported <= {"group-cardinality", "repeated-predicate",
-                           "ShapeAnd-multiple-triple-exprs",
+    assert unsupported <= {"repeated-predicate", "group-cardinality",
                            "multiple-triple-exprs", "multiple-oneofs",
                            "nested-oneof", "tripleExprRef", "imports",
                            "semActs", "startActs", "ShapeExternal",
