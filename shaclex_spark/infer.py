@@ -22,6 +22,32 @@ from pyspark.sql import DataFrame, functions as F
 
 from .model import RDF_LANGSTRING
 
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def decorate_labels(triples: DataFrame, inferred: DataFrame,
+                    lang: str | None = "en") -> DataFrame:
+    """Add an rdfs:label annotation column to an inferred shape.
+
+    Mirrors InferredShape.getLabel (/root/reference/modules/schemaInfer/
+    src/main/scala/es/weso/schemaInfer/InferredShape.scala:108-125,
+    annotation emission :74-85): for each predicate IRI of the shape,
+    the data graph's `pred rdfs:label ?l` literals filtered to the
+    requested language tag; the first (min, for determinism) wins.
+
+    Scale shape: the label relation aggregates the big triple table
+    map-side (filter + groupBy(subj) min) down to one row per labeled
+    IRI, and the inferred shape is one row per distinct predicate —
+    the join is left as a plain equi-join for AQE to broadcast."""
+    labels = triples.filter(F.col("pred") == RDFS_LABEL) \
+        .filter(F.col("obj_kind") == "literal")
+    if lang is not None:
+        labels = labels.filter(F.col("obj_lang").isNotNull()
+                               & (F.lower("obj_lang") == lang.lower()))
+    labels = labels.groupBy(F.col("subj").alias("pred")) \
+        .agg(F.min("obj_value").alias("label"))
+    return inferred.join(labels, on="pred", how="left")
+
 
 def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
                 label: str = "InferredShape") -> DataFrame:
@@ -87,7 +113,8 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
 def infer_schema(triples: DataFrame, focus_nodes: DataFrame,
                  label: str = "InferredShape",
                  follow_on: list[tuple[str, str]] | None = None,
-                 max_follow_on: int = 1) -> DataFrame:
+                 max_follow_on: int = 1,
+                 add_label_lang: str | None = None) -> DataFrame:
     """Full inference with bounded followOn expansion.
 
     follow_on: [(pred_regex, sub_label)] — when a predicate of the
@@ -101,7 +128,10 @@ def infer_schema(triples: DataFrame, focus_nodes: DataFrame,
     """
     profiles = [infer_shape(triples, focus_nodes, label)]
     if not follow_on:
-        return profiles[0]
+        out = profiles[0]
+        if add_label_lang is not None:
+            out = decorate_labels(triples, out, add_label_lang)
+        return out
     visited = focus_nodes.select(
         F.col(focus_nodes.columns[0]).alias("node")).distinct() \
         .localCheckpoint(eager=True)
@@ -137,6 +167,8 @@ def infer_schema(triples: DataFrame, focus_nodes: DataFrame,
     for p in profiles[1:]:
         if p is not None:
             out = out.unionByName(p)
+    if add_label_lang is not None:
+        out = decorate_labels(triples, out, add_label_lang)
     return out
 
 
@@ -146,6 +178,10 @@ def inferred_to_shape_json(inferred_rows: list, label: str) -> dict:
     constraints = []
     for r in sorted(inferred_rows, key=lambda r: r["pred"]):
         c: dict = {"path": r["pred"], "minCount": int(r["min_card"])}
+        fields = getattr(r, "__fields__", r)
+        if "label" in fields and r["label"] is not None:
+            c["annotations"] = [{"predicate": RDFS_LABEL,
+                                 "object": r["label"]}]
         if r["max_card"] != "*":
             c["maxCount"] = int(r["max_card"])
         kind = r["constraint"]

@@ -226,6 +226,15 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         query_ids=list(range(8)), k=5)
 
 
+@query("emb_ann_ivf")  # rows-only: approximate by design (coarse quantizer)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"),
+                        query_ids=list(range(8)), k=5,
+                        n_lists=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

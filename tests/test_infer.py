@@ -56,3 +56,27 @@ def test_infer_follow_on(spark):
         by_shape.setdefault(r.shape, {})[r.pred] = r
     assert by_shape["Doc"][EX + "derivedFrom"].constraint == "@SourceShape"
     assert by_shape["SourceShape"][EX + "url"].constraint == XSD_STR
+
+
+def test_infer_label_decoration(spark):
+    """rdfs:label decoration (InferredShape.scala:74-85, getLabel
+    :108-125): the predicate IRI's rdfs:label in the requested
+    language becomes an annotation; other languages are skipped."""
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        (EX + "a", EX + "name", "literal", "A", XSD_STR, None),
+        (EX + "a", EX + "age", "literal", "3", XSD_INT, None),
+        (EX + "name", RDFS_LABEL, "literal", "nom", LS, "fr"),
+        (EX + "name", RDFS_LABEL, "literal", "name", LS, "en"),
+    ]
+    t = triples_df(spark, rows)
+    focus = spark.createDataFrame([(EX + "a",)], "node string")
+    dec = infer_schema(t, focus, "S", add_label_lang="en").collect()
+    by_pred = {r.pred: r for r in dec}
+    assert by_pred[EX + "name"].label == "name"          # en, not fr
+    assert by_pred[EX + "age"].label is None             # unlabeled pred
+    js = inferred_to_shape_json([r.asDict() for r in dec], "S")
+    ann = [c for c in js["constraints"] if c["path"] == EX + "name"][0]
+    assert ann["annotations"] == [
+        {"predicate": RDFS_LABEL, "object": "name"}]
