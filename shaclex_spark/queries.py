@@ -57,16 +57,40 @@ def _release_previous_caches() -> None:
             pass
 
 
+# the KG triple union is shared ACROSS queries of one session+sf_dir:
+# it is the dominant repeated cost (a 14-way union over every TPC-H
+# table), identical for every kg_* query, and read-only — so it stays
+# cached for the whole session while per-query engine caches are
+# released by _release_previous_caches.
+_KG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _KG_CACHE.get(key)
+    if df is None:
+        for old in list(_KG_CACHE.values()):
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _KG_CACHE.clear()
+        df = kg_triples(spark, sf_dir).persist()
+        _KG_CACHE[key] = df
+    return df
+
+
 def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
               with_report: bool = False):
     _release_previous_caches()
     # persist: the demo KG is a 14-way union re-read by focus selection,
-    # candidate propagation and every constraint join — materialize once.
-    triples = kg_triples(spark, sf_dir).persist()
+    # candidate propagation and every constraint join — materialize once
+    # per session+sf_dir (shared across queries, see _KG_CACHE).
+    triples = _kg_cached(spark, sf_dir)
     schema = SchemaDict.from_json(shapes)
     engine = ValidationEngine(spark, schema, triples)
     focus = target_focus(spark, schema, triples)
-    _LIVE_CACHES.extend([triples, engine])
+    _LIVE_CACHES.append(engine)
     return engine.validate(focus)
 
 
@@ -100,7 +124,7 @@ SELECT * FROM (
 )
 """)
 def kg_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    triples = kg_triples(spark, sf_dir)
+    triples = _kg_cached(spark, sf_dir)
     schema = SchemaDict.from_json(_TARGET_SHAPES)
     return target_focus(spark, schema, triples) \
         .select("node", "shape", "selector")

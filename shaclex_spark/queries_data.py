@@ -317,7 +317,9 @@ SELECT 'CustomerProfile' AS shape, pred,
 FROM shape
 """)
 def kg_infer_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    triples = kg_triples(spark, sf_dir)
+    from .queries import _kg_cached
+
+    triples = _kg_cached(spark, sf_dir)
     focus = (triples.filter((F.col("pred") == RDF_TYPE)
                             & (F.col("obj_value") == EX + "Customer"))
              .select("subj"))
