@@ -61,17 +61,29 @@ def minhash_sig(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+def shingle_table(docs: DataFrame, id_col: str, text_col: str,
+                  shingle_k: int) -> DataFrame:
+    """(i, sh: array<string>) — the tokenization+shingling pass, split
+    out so multi-stage consumers (signatures + exact verify) derive it
+    ONCE and persist instead of re-tokenizing the corpus per stage."""
+    return docs.select(F.col(id_col).alias("i"),
+                       word_shingles(F.col(text_col), shingle_k).alias("sh"))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
-                       n_hashes: int, shingle_k: int = 1) -> DataFrame:
+                       n_hashes: int, shingle_k: int = 1,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(i, h0..h{n-1}) minhash signature table via explode + groupBy
     min-aggregates: whole-stage-codegen'd, map-side partial
     aggregation, exactly one shuffle on the doc id — the scale path
     (the inline higher-order-function variant re-evaluates the whole
-    tokenize→shingle tree once per hash per row)."""
-    sh = docs.select(
-        F.col(id_col).alias("i"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-    )
+    tokenize→shingle tree once per hash per row).
+
+    ``shingles``: optional precomputed shingle_table(docs, ...) —
+    pass it (persisted) when the caller also needs the shingle sets."""
+    if shingles is None:
+        shingles = shingle_table(docs, id_col, text_col, shingle_k)
+    sh = shingles.select("i", F.explode("sh").alias("s"))
     aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)]
     return sh.groupBy("i").agg(*aggs)
@@ -81,7 +93,8 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
                    n_bands: int, rows_per_band: int,
                    shingle_k: int = 1,
                    max_bucket_size: int | None = None,
-                   verbose: bool = False) -> DataFrame:
+                   verbose: bool = False,
+                   shingles: DataFrame | None = None) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 minhash band bucket.
 
     Shuffles: one groupBy(id) for signatures, one band-bucket self-join
@@ -93,7 +106,8 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
     LSH recall (oracle-parity configuration); production callers should
     cap (linking.MAX_BUCKET_SIZE is the shared default)."""
     n_hashes = n_bands * rows_per_band
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k,
+                             shingles=shingles)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -119,16 +133,24 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 1,
-                        n_bands: int = 24, rows_per_band: int = 1) -> DataFrame:
+                        n_bands: int = 24, rows_per_band: int = 1,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
 
     rows_per_band=1 gives candidate recall 1-(1-J)^bands (≈1 at J≥0.5,
     24 bands) so results match a brute-force oracle; at larger scale
-    use rows_per_band≥2 to bound candidate volume."""
+    use rows_per_band≥2 to bound candidate volume.
+
+    The shingle relation is derived once and persisted — it feeds both
+    the signature aggregation and the exact-verify joins (previously
+    the corpus was tokenized+shingled three times). Long-lived callers
+    should pass ``shingles`` (a persisted shingle_table) and own its
+    release; when omitted, the persist created here lives until the
+    session drops it (acceptable for one-shot jobs)."""
+    sh = shingles if shingles is not None else \
+        shingle_table(docs, id_col, text_col, shingle_k).persist()
     cands = lsh_candidates(docs, id_col, text_col, n_bands, rows_per_band,
-                           shingle_k)
-    sh = docs.select(F.col(id_col).alias("i"),
-                     word_shingles(F.col(text_col), shingle_k).alias("sh"))
+                           shingle_k, shingles=sh)
     a = sh.select(F.col("i").alias("a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("i").alias("b"), F.col("sh").alias("shb"))
     joined = cands.join(a, on="a").join(b, on="b")

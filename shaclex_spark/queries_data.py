@@ -166,9 +166,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r=1, 24 bands: candidate recall at J=0.4 is 1-(1-J)^24 ≈ 1-5e-6,
     # so the LSH result matches the brute-force oracle; trigram
     # disjointness keeps bucket sizes (and thus candidates) small.
-    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                               threshold=0.4, shingle_k=3,
-                               n_bands=24, rows_per_band=1)
+    from .functions.dedup import shingle_table
+    from .queries import _LIVE_CACHES, _release_previous_caches
+
+    _release_previous_caches()
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
+    _LIVE_CACHES.append(sh)  # released by the next registry query
+    return ngram_jaccard_pairs(docs, threshold=0.4, shingle_k=3,
+                               n_bands=24, rows_per_band=1, shingles=sh)
 
 
 @query("dedup_minhash_candidates")  # rows-only: LSH banding is not SQL-exact

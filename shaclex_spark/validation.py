@@ -137,6 +137,7 @@ _TZ_RE = r"(Z|[+-]\d\d:\d\d)$"
 def _range_check(e: NodeExpr, tc: TermCols) -> Column:
     lit_raw = e.value
     tz_guard = F.lit(True)
+    dec_cmp = None
     try:
         bound = F.lit(float(lit_raw))
         val = _numeric_value(tc)
@@ -147,6 +148,15 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
         tz_guard = F.coalesce(
             tc.dt.isin(list(NUMERIC_DATATYPES | TEMPORAL_DATATYPES)),
             F.lit(False))
+        # exact decimal comparison when both sides fit decimal(38,15):
+        # doubles lose integer precision past 2^53, so
+        # "10000000000000000001"^^xsd:decimal vs bound ...000 would
+        # compare equal under double math. Falls back to double for
+        # exponent forms ("1E0") / overflow (try_cast ⇒ NULL).
+        bound_dec = F.lit(lit_raw).try_cast("decimal(38,15)")
+        val_dec = tc.value.try_cast("decimal(38,15)")
+        dec_cmp = (bound_dec.isNotNull() & val_dec.isNotNull(),
+                   val_dec, bound_dec)
     except ValueError:
         # temporal bound. XSD dateTime ordering between zoned and
         # unzoned values is indeterminate ⇒ violation (W3C
@@ -155,16 +165,23 @@ def _range_check(e: NodeExpr, tc: TermCols) -> Column:
 
         bound = F.lit(lit_raw).cast("timestamp").cast("double")
         val = tc.value.try_cast("timestamp").cast("double")
-        bound_has_tz = bool(_re.search(r"(Z|[+-]\d\d:\d\d)$", lit_raw))
+        bound_has_tz = bool(_re.search(_TZ_RE, lit_raw))
         tz_guard = ((tc.value.rlike(_TZ_RE) == F.lit(bound_has_tz))
                     & F.coalesce(tc.dt.isin(list(TEMPORAL_DATATYPES)),
                                  F.lit(False)))
-    cmp = {
-        "minInclusive": val >= bound,
-        "maxInclusive": val <= bound,
-        "minExclusive": val > bound,
-        "maxExclusive": val < bound,
-    }[e.kind]
+
+    def _op(v, b):
+        return {
+            "minInclusive": v >= b,
+            "maxInclusive": v <= b,
+            "minExclusive": v > b,
+            "maxExclusive": v < b,
+        }[e.kind]
+
+    cmp = _op(val, bound)
+    if dec_cmp is not None:
+        both_dec, val_dec, bound_dec = dec_cmp
+        cmp = F.when(both_dec, _op(val_dec, bound_dec)).otherwise(cmp)
     # non-literal or non-comparable value ⇒ violation (never null)
     return (tc.kind == "literal") & val.isNotNull() & tz_guard & cmp
 

@@ -372,3 +372,28 @@ def test_group_cardinality_blocks(spark):
     assert conf[(EX + "over", "http://e/S")] is False
     assert conf[(EX + "mix", "http://e/T")] is True
     assert conf[(EX + "one", "http://e/T")] is False
+
+
+# ------------------------------------------------- 6. decimal precision
+
+def test_decimal_range_precision(spark):
+    """Range bounds compare as decimal(38,15) when both sides fit:
+    10000000000000000001 vs bound 10000000000000000000 differ only
+    past double's 2^53 integer precision, so double math would
+    wrongly conform b (VERDICT round-1 minor #7)."""
+    DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+    big, bound = "10000000000000000001", "10000000000000000000"
+    rows = [
+        (EX + "a", EX + "p", "literal", big, DEC, None),    # > bound
+        (EX + "b", EX + "p", "literal", bound, DEC, None),  # == bound
+    ]
+    shapes = [{
+        "label": "S",
+        "constraints": [{
+            "path": EX + "p",
+            "node": {"kind": "maxInclusive", "value": bound},
+        }],
+    }]
+    conf, _ = run(spark, rows, shapes, [(EX + "a", "S"), (EX + "b", "S")])
+    assert conf[(EX + "a", "S")] is False   # exceeds bound by 1
+    assert conf[(EX + "b", "S")] is True
