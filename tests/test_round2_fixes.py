@@ -397,3 +397,19 @@ def test_decimal_range_precision(spark):
     conf, _ = run(spark, rows, shapes, [(EX + "a", "S"), (EX + "b", "S")])
     assert conf[(EX + "a", "S")] is False   # exceeds bound by 1
     assert conf[(EX + "b", "S")] is True
+
+
+# ------------------------------------------------- 7. bench contract
+
+def test_bench_headline_queries_registered():
+    """Every bench.py HEADLINE name must exist in the driver registry
+    (a renamed query would make the per-round bench crash)."""
+    import bench
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    # oracle_sql keys must be a subset of queries keys
+    extra = [n for n in E.oracle_sql() if n not in qs]
+    assert not extra, extra
