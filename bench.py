@@ -30,9 +30,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # leg size: big enough that the parallel work W dominates the fixed
 # per-job latency s on BOTH legs (Amdahl fit in BASELINE.md) while the
-# wide (4-core) leg stays short enough (~35-40 s) to usually clear the
+# wide (4-core) leg stays short enough (~45-60 s) to usually clear the
 # host's wide-load throttle window after the in-leg settle.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "700000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -98,10 +98,21 @@ def _calibrate() -> float:
     return time.time() - t0
 
 
+BENCH_INPUT = os.environ.get("SPARK_GRAFT_BENCH_INPUT",
+                             "/dev/shm/spark_graft_bench_input")
+
+
 def _leg_main(par: int, n_convs: int) -> None:
     """Subprocess entry: one warm-up + ONE timed run, plus a single-core
     calibration probe. Pairing and the best-pair estimator live in
-    main() (BASELINE.md protocol)."""
+    main() (BASELINE.md protocol).
+
+    Input comes from the parquet table the parent synthesized ONCE
+    (north-rule shape: the production job reads an Iceberg table, it
+    does not generate its input) — falls back to in-leg synthesis if
+    the table is absent. Reading beats re-synthesizing in-leg: a 1-core
+    leg spent ~80 s generating 12M turns, CPU burn that ate the burst
+    budget the timed window needs."""
     from shaclex_spark.session import get_spark
 
     from shaclex_spark.transcripts import synth_transcripts
@@ -115,19 +126,44 @@ def _leg_main(par: int, n_convs: int) -> None:
                       shuffle_partitions=par,
                       extra_conf={"spark.sql.adaptive.enabled": "false"})
     run_pipeline(spark, max(n_convs // 40, 100))  # warm-up (JIT, workers)
-    transcripts, _ = synth_transcripts(spark, n_convs, seed=42)
-    transcripts = transcripts.localCheckpoint(eager=True)  # one shared input
+    if os.path.isdir(BENCH_INPUT):
+        transcripts = spark.read.parquet(BENCH_INPUT)
+    else:
+        transcripts, _ = synth_transcripts(spark, n_convs, seed=42)
+    transcripts = transcripts.localCheckpoint(eager=True)  # pin input out
     n_turns = transcripts.count()
     if par > 1:
-        # input synthesis + warm-up just burned ~20-30 s of multi-core
-        # load; settle so the TIMED window starts against a recovered
-        # burst budget (the host throttles sustained wide load — the
-        # 1-core leg never triggers it and skips the wait)
+        # warm-up just burned multi-core load; settle so the TIMED
+        # window starts against a recovered burst budget (the host
+        # throttles sustained wide load — the 1-core leg never
+        # triggers it and skips the wait)
         time.sleep(int(os.environ.get("SPARK_GRAFT_LEG_SETTLE", "45")))
     cal = _calibrate()
     elapsed = _timed_pipeline(spark, transcripts)
     print(json.dumps({"elapsed": elapsed, "n_turns": n_turns,
                       "calibration": round(cal, 3)}))
+
+
+def _materialize_bench_input(n_convs: int) -> None:
+    """Synthesize the shared leg input ONCE at full width and land it
+    on tmpfs parquet; every leg then just reads it."""
+    import shutil
+    import subprocess as sp
+
+    if os.path.isdir(BENCH_INPUT):
+        shutil.rmtree(BENCH_INPUT, ignore_errors=True)
+    # own subprocess: keeps the parent free of a SparkContext so leg
+    # JVMs stay the only Spark processes during timed windows
+    code = (
+        "from shaclex_spark.session import get_spark\n"
+        "from shaclex_spark.transcripts import synth_transcripts\n"
+        f"spark = get_spark('bench_input', parallelism=16, shuffle_partitions=16)\n"
+        f"t, _ = synth_transcripts(spark, {n_convs}, seed=42)\n"
+        f"t.write.mode('overwrite').parquet({BENCH_INPUT!r})\n"
+    )
+    sp.run([sys.executable, "-c", code], check=True, timeout=900,
+           cwd=os.path.dirname(os.path.abspath(__file__)),
+           capture_output=True)
 
 
 def _run_leg(par: int, n_convs: int) -> dict:
@@ -165,9 +201,17 @@ def _scaling_evidence() -> dict:
     cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75"))
     max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.81"))
+    # wall-clock budget: a heavily-throttled host stretches legs 2-3×;
+    # don't start another pair past this point so the whole bench stays
+    # inside any reasonable external timeout
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "840"))
+    _materialize_bench_input(BENCH_CONVS)
+    t_start = time.time()
     scale = n_b / n_a
     pairs = []
     for i in range(max_pairs):
+        if i > 0 and time.time() - t_start > budget:
+            break
         # cool-down before the wide leg: the sandbox host throttles
         # sustained wide load (steal time climbs to ~30% after ~25 s);
         # the idle gap lets the burst budget recover. Wide leg FIRST
@@ -192,6 +236,9 @@ def _scaling_evidence() -> dict:
         })
         if pairs[-1]["efficiency"] >= target:
             break
+    import shutil
+
+    shutil.rmtree(BENCH_INPUT, ignore_errors=True)  # free the tmpfs copy
     best = max(pairs, key=lambda p: p["efficiency"])
     # Amdahl decomposition of the best pair (T = s + w/cores): s is
     # the runner's fixed per-job latency (driver scheduling, codegen,
