@@ -119,6 +119,39 @@ def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5_profile(_read(spark, sf_dir, "documents"))
 
 
+@query("txt_winnow", oracle=rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{TOKEN_RE}', 0),
+                        t -> lower(t)) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 3)) AS i, t
+  FROM tk WHERE len(t) >= 4
+), h AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(t, i, i + 3), ' ')) AS h,
+         max(i) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g
+), wm AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wm
+WHERE i <= greatest(n_grams - 4, 0) + 1
+""")
+def txt_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=4-gram, window w=4); the oracle
+    mirrors gram hashing, window minima, and start-index filtering
+    1:1 (DuckDB is 1-based where the Spark posexplode is 0-based)."""
+    from .functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"),
+                               k=4, w=4)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------

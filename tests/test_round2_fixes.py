@@ -413,3 +413,26 @@ def test_bench_headline_queries_registered():
     # oracle_sql keys must be a subset of queries keys
     extra = [n for n in E.oracle_sql() if n not in qs]
     assert not extra, extra
+
+
+# ------------------------------------------------- 8. winnowing guarantee
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. §2): two documents sharing
+    a token run of length >= w + k - 1 (= 7 at k=4, w=4) must share at
+    least one fingerprint; documents with no shared grams share none."""
+    from shaclex_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"   # 7 tokens
+    docs = spark.createDataFrame(
+        [(1, "one two three " + shared + " four five"),
+         (2, shared + " completely different suffix here"),
+         (3, "nothing in common with the others at all")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=4, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
