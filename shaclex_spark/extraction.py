@@ -27,21 +27,32 @@ EX = "http://example.org/"
 FOAF_KNOWS = "http://xmlns.com/foaf/0.1/knows"
 MENTION = EX + "mention/"
 
-# (pattern, pred, subj_group, obj_group, obj handling)
+# (pattern, pred, obj handling, literal keyword)
 # Patterns mirror the synthetic templates in transcripts.py; a real
 # deployment swaps in an NER/RE model inside the same mapInPandas hook.
+# The keyword is a LITERAL substring of the pattern: rows are
+# prefiltered with a plain C-side substring scan (pandas
+# str.contains(regex=False)) so the expensive anchored regex runs only
+# on candidate rows — with 6 disjoint templates this cuts the regex
+# work ~6x without changing any result (non-matching rows extract to
+# NaN either way).
 NAME = r"[A-Za-z][A-Za-z.]*(?: [A-Za-z][A-Za-z.]*){0,2}"
-RULES: list[tuple[str, str, str]] = [
+RULES: list[tuple[str, str, str, str]] = [
     (rf"^(?P<s>{NAME}) is enrolled in (?P<o>[a-z]{{2}}\d+)\.$",
-     EX + "enrolledIn", "course"),
-    (rf"^(?P<s>{NAME}) knows (?P<o>{NAME})\.$", FOAF_KNOWS, "mention"),
+     EX + "enrolledIn", "course", " is enrolled in "),
+    (rf"^(?P<s>{NAME}) knows (?P<o>{NAME})\.$", FOAF_KNOWS, "mention",
+     " knows "),
     (r"^(?P<s>[a-z]{2}\d+) has subject (?P<o>[A-Za-z]+)\.$",
-     EX + "hasSubject", "str"),
-    (rf"^(?P<s>{NAME}) is (?P<o>\d+) years old\.$", EX + "age", "int"),
-    (rf"^(?P<s>{NAME}) works at (?P<o>org[a-z])\.$", EX + "worksFor", "org"),
-    (r"^(?P<s>Customer#\d+) placed order (?P<o>\d+)\.$", EX + "placed", "order"),
+     EX + "hasSubject", "str", " has subject "),
+    (rf"^(?P<s>{NAME}) is (?P<o>\d+) years old\.$", EX + "age", "int",
+     " years old."),
+    (rf"^(?P<s>{NAME}) works at (?P<o>org[a-z])\.$", EX + "worksFor", "org",
+     " works at "),
+    (r"^(?P<s>Customer#\d+) placed order (?P<o>\d+)\.$", EX + "placed",
+     "order", " placed order "),
 ]
-_COMPILED = [(re.compile(p), pred, objmode) for p, pred, objmode in RULES]
+_COMPILED = [(re.compile(p), pred, objmode, kw)
+             for p, pred, objmode, kw in RULES]
 
 _SLUG_RE = re.compile(r"[^a-z0-9]+")
 
@@ -53,11 +64,15 @@ def slug(series: pd.Series) -> pd.Series:
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     outs = []
     text = pdf["text"]
-    for rx, pred, objmode in _COMPILED:
-        m = text.str.extract(rx)
+    for rx, pred, objmode, kw in _COMPILED:
+        cand = text[text.str.contains(kw, regex=False)]
+        if cand.empty:
+            continue
+        m = cand.str.extract(rx)
         hit = m["s"].notna()
         if not hit.any():
             continue
+        hit = hit[hit].index
         sub = pdf.loc[hit, ["conv_id", "turn_idx"]].copy()
         subj_is_course = pred == EX + "hasSubject"
         if subj_is_course:
