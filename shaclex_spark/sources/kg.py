@@ -36,6 +36,21 @@ def _t(subj, pred, obj_kind, obj_value, obj_dt=None):
     ]
 
 
+def _inline_triples(df: DataFrame, rows: list[tuple]) -> DataFrame:
+    """One scan → N triples per source row via inline(array(struct…))."""
+    structs = [
+        F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            obj_value.cast("string").alias("obj_value"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("obj_dt"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+        for subj, pred, kind, obj_value, dt in rows
+    ]
+    return df.select(F.inline(F.array(*structs)))
+
+
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -57,25 +72,38 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey"))
     oc_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey"))
 
+    # ONE scan per table: each row emits its triples as an inlined
+    # struct array (14 union branches each re-scanned their source —
+    # customer 5x, orders 4x — which is pure scan amplification at
+    # 100-TB fact-table sizes; inline() keeps the same rows from a
+    # single codegen'd pass per table).
     pieces = [
-        customer.select(*_t(c_iri, RDF_TYPE, "iri", F.lit(EX + "Customer"))),
-        customer.select(*_t(c_iri, EX + "name", "literal", F.col("c_name"), XSD_STRING)),
-        customer.select(*_t(c_iri, EX + "acctbal", "literal",
-                            F.format_string("%.2f", F.col("c_acctbal")), XSD_DECIMAL)),
-        customer.select(*_t(c_iri, EX + "mktsegment", "literal",
-                            F.col("c_mktsegment"), XSD_STRING)),
-        customer.select(*_t(c_iri, EX + "nation", "iri", n_iri_c)),
-        nation.select(*_t(n_iri, RDF_TYPE, "iri", F.lit(EX + "Nation"))),
-        nation.select(*_t(n_iri, EX + "name", "literal", F.col("n_name"), XSD_STRING)),
-        nation.select(*_t(n_iri, EX + "region", "iri", r_iri_n)),
-        region.select(*_t(r_iri, RDF_TYPE, "iri", F.lit(EX + "Region"))),
-        region.select(*_t(r_iri, EX + "name", "literal", F.col("r_name"), XSD_STRING)),
-        orders.select(*_t(o_iri, RDF_TYPE, "iri", F.lit(EX + "Order"))),
-        orders.select(*_t(o_iri, EX + "customer", "iri", oc_iri)),
-        orders.select(*_t(o_iri, EX + "totalprice", "literal",
-                          F.format_string("%.2f", F.col("o_totalprice")), XSD_DECIMAL)),
-        orders.select(*_t(o_iri, EX + "status", "literal",
-                          F.col("o_orderstatus"), XSD_STRING)),
+        _inline_triples(customer, [
+            (c_iri, RDF_TYPE, "iri", F.lit(EX + "Customer"), None),
+            (c_iri, EX + "name", "literal", F.col("c_name"), XSD_STRING),
+            (c_iri, EX + "acctbal", "literal",
+             F.format_string("%.2f", F.col("c_acctbal")), XSD_DECIMAL),
+            (c_iri, EX + "mktsegment", "literal",
+             F.col("c_mktsegment"), XSD_STRING),
+            (c_iri, EX + "nation", "iri", n_iri_c, None),
+        ]),
+        _inline_triples(nation, [
+            (n_iri, RDF_TYPE, "iri", F.lit(EX + "Nation"), None),
+            (n_iri, EX + "name", "literal", F.col("n_name"), XSD_STRING),
+            (n_iri, EX + "region", "iri", r_iri_n, None),
+        ]),
+        _inline_triples(region, [
+            (r_iri, RDF_TYPE, "iri", F.lit(EX + "Region"), None),
+            (r_iri, EX + "name", "literal", F.col("r_name"), XSD_STRING),
+        ]),
+        _inline_triples(orders, [
+            (o_iri, RDF_TYPE, "iri", F.lit(EX + "Order"), None),
+            (o_iri, EX + "customer", "iri", oc_iri, None),
+            (o_iri, EX + "totalprice", "literal",
+             F.format_string("%.2f", F.col("o_totalprice")), XSD_DECIMAL),
+            (o_iri, EX + "status", "literal",
+             F.col("o_orderstatus"), XSD_STRING),
+        ]),
     ]
     out = pieces[0]
     for p in pieces[1:]:
