@@ -210,6 +210,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_bands=24, rows_per_band=1, shingles=sh)
 
 
+@query("data_curate", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS tk,
+         regexp_extract_all(text, '[A-Za-z0-9]+', 0) AS words,
+         regexp_extract_all(text, '[^A-Za-z0-9\s]', 0) AS punct
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    round((
+      least(length(text) / 200.0, 1.0)
+      + (1.0 - least(CAST(len(punct) AS DOUBLE) / greatest(length(text),1) * 5, 1.0))
+      + (CASE WHEN CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE)
+               / greatest(len(words),1) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+      + least(CAST(len(list_filter(tk, t -> lower(t) IN
+          ('the','a','an','and','or','of','to','in','is','for'))) AS DOUBLE)
+          / greatest(len(tk),1) * 10, 1.0)
+    ) / 4, 6) AS quality
+  FROM toks
+), lt AS (
+  SELECT doc_id, list_transform(tk, t -> lower(t)) AS ltk FROM toks
+), l AS (
+  SELECT doc_id,
+    len(list_filter(ltk, t -> t IN ('der','die','und','das','ein'))) AS s_de,
+    len(list_filter(ltk, t -> t IN ('the','and','of','is','a'))) AS s_en,
+    len(list_filter(ltk, t -> t IN ('el','la','de','que','y'))) AS s_es,
+    len(list_filter(ltk, t -> t IN ('le','la','de','et','un'))) AS s_fr
+  FROM lt
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM l
+), canon AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+)
+SELECT d.doc_id, q.quality, lang.lang_pred
+FROM documents d
+JOIN q USING (doc_id) JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+WHERE q.quality >= 0.5 AND lang.lang_pred = 'en'
+  AND d.doc_id = canon.canonical_id
+""")
+def data_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass — the canonical training-data filter
+    chain: quality gate (rounded score ≥ 0.5, so the engine-boundary
+    comparison is stable) AND language filter (en) AND exact-dedup
+    canonical-representative only. Each stage is the already-oracled
+    operator; the composition is one plan with three broadcast-able
+    dimension joins on doc_id — at scale the profile/lang columns
+    fuse into the same scan (all derive from `text`) and only the
+    dedup canonical join shuffles (on the md5 hash)."""
+    docs = _read(spark, sf_dir, "documents")
+    prof = text_profile(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    canon = exact_dedup(docs).select("doc_id", "canonical_id")
+    return (docs.select("doc_id")
+            .join(prof, "doc_id").join(lang, "doc_id").join(canon, "doc_id")
+            .filter((F.col("quality") >= 0.5)
+                    & (F.col("lang_pred") == "en")
+                    & (F.col("doc_id") == F.col("canonical_id")))
+            .select("doc_id", "quality", "lang_pred"))
+
+
 @query("dedup_minhash_candidates")  # rows-only: LSH banding is not SQL-exact
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped MinHash+LSH blocking (r=3 bands: high
