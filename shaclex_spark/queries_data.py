@@ -502,6 +502,36 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("evt_window_agg", oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS total_value,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+""")
+def evt_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: counts, distinct users,
+    value sums, and a JSON property extracted from the semi-structured
+    props column. Spark's window() and DuckDB's time_bucket both align
+    hour buckets to epoch-aligned origins, so the buckets agree
+    exactly. One shuffle on (window, event_type) with map-side partial
+    aggregation; the JSON path extraction is a codegen'd expression,
+    not a UDF."""
+    events = _read(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour").getField("start")
+                     .alias("window_start"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("total_value"),
+                 F.max(F.get_json_object("props", "$.k").cast("bigint"))
+                 .alias("max_k")))
+
+
 @query("trx_extract", oracle="""
 WITH trx AS (
   SELECT 'c' || o.o_custkey AS conv_id,
