@@ -291,6 +291,16 @@ def main() -> None:
     spark = get_spark("bench_headline", parallelism=CPUS,
                       shuffle_partitions=max(CPUS, 16))
     queries = E.queries()
+    # warm-up at sf0.001 (discarded): compiles the query plans' codegen
+    # classes and launches the Python workers once, so the timed sf0.1
+    # numbers measure the engine, not first-call Janino compilation —
+    # the same discard-one-warm-up methodology the scaling legs use.
+    for name in HEADLINE:
+        try:
+            _force(queries[name](spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+    spark.catalog.clearCache()
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
