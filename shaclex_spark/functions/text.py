@@ -139,14 +139,21 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     Output: (doc_id, fp) distinct selected fingerprints."""
     from pyspark.sql import Window
 
-    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    # token array bound to its own projection: the tokenizer subtree
+    # must not ride into the per-position lambda (interpreted HOFs
+    # have no common-subexpression elimination — see shingle_table)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        .alias("__toks"))
+    toks = F.col("__toks")
     n_grams = F.size(toks) - (k - 1)
     # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # short docs must produce an empty gram array explicitly
     gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)) \
         .otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
+    grams = toked.select(
+        "doc_id",
         F.posexplode(
             F.transform(gram_idx,
                         lambda i: F.md5(F.array_join(F.slice(toks, i, k),
