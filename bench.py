@@ -284,7 +284,7 @@ def main() -> None:
         # local[32] on a 32-vCPU VM oversubscribes (each task slot
         # carries JVM shuffle/Arrow/GC helper threads plus a Python
         # worker process) and collapses per-core efficiency, so the
-        # N→4N evidence uses 2 vs 8 cores (see BASELINE.md).
+        # N→4N evidence uses 1 vs 4 cores (see BASELINE.md).
         out["pipeline"] = _scaling_evidence()
         out["turns_per_sec"] = out["pipeline"]["turns_per_sec_B"]
 

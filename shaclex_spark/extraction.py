@@ -65,7 +65,10 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     outs = []
     text = pdf["text"]
     for rx, pred, objmode, kw in _COMPILED:
-        cand = text[text.str.contains(kw, regex=False)]
+        # na=False: a NULL text row yields NaN from str.contains, and
+        # boolean-indexing with an NA mask raises — null rows simply
+        # don't match any template.
+        cand = text[text.str.contains(kw, regex=False, na=False)]
         if cand.empty:
             continue
         m = cand.str.extract(rx)

@@ -224,9 +224,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         labels = v.select("node", F.col("node").alias("comp"))
         return (labels, rounds) if return_rounds else labels
     if n_edges <= driver_threshold:
-        pairs = [(r["u"], r["v"]) for r in e.collect()]
-        verts = [r["node"] for r in v.collect()]
-        if len(verts) <= driver_threshold:
+        # cheap vertex-count guard BEFORE any collect: a sparse-edge
+        # graph can still carry millions of isolated vertices, and
+        # collecting them to test len() would OOM the driver. limit+1
+        # short-circuits the count at the threshold.
+        n_verts_capped = v.limit(driver_threshold + 1).count()
+        if n_verts_capped <= driver_threshold:
+            pairs = [(r["u"], r["v"]) for r in e.collect()]
+            verts = [r["node"] for r in v.collect()]
             labels = spark.createDataFrame(
                 _driver_union_find(pairs, verts), "node string, comp string")
             return (labels, rounds) if return_rounds else labels

@@ -66,7 +66,10 @@ _KG_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's id()
+    # can be reused by a new session, which would hand out a stale
+    # persisted DataFrame bound to the dead context.
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _KG_CACHE.get(key)
     if df is None:
         for old in list(_KG_CACHE.values()):
@@ -413,6 +416,92 @@ def shex_suite_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = scorecard(run_suite_mp(nproc=10))
     rows = [(k, sc[k]) for k in ("correct", "wrong", "error", "skipped")]
     return spark.createDataFrame(rows, "status string, n long")
+
+
+# ---------------------------------------------------------------------------
+# 8. 4-valued statuses through the driver gate: a recursive shape over a
+#    REAL data cycle (the 5 regions linked in a ring) is genuinely
+#    Unknown — greatest fixpoint says conformant, least says not
+#    (Val.scala:3-45 lattice) — while the nation chain (n0→…→n24, last
+#    node violates minCount) stays determined-nonconformant end to end.
+#    The oracle derives both expected row sets from the parquet tables.
+# ---------------------------------------------------------------------------
+
+
+@query("kg_status_recursive", oracle="""
+SELECT 'http://example.org/r/' || r_regionkey AS node,
+       'CycleShape' AS shape, TRUE AS conforms, 'unknown' AS status
+FROM region
+UNION ALL
+SELECT 'http://example.org/n/' || n_nationkey, 'CycleShape',
+       FALSE, 'nonconformant'
+FROM nation
+""")
+def kg_status_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+
+    def _edge(src, dst):
+        return (F.concat(F.lit(EX), src).alias("subj"),
+                F.lit(EX + "next").alias("pred"),
+                F.lit("iri").alias("obj_kind"),
+                F.concat(F.lit(EX), dst).alias("obj_value"),
+                F.lit(None).cast("string").alias("obj_dt"),
+                F.lit(None).cast("string").alias("obj_lang"))
+
+    # region ring: each region points at the next key, the max wraps to
+    # the min — a true cycle (5 rows; the single-partition window is a
+    # dimension-side construction, not a data-scale path).
+    w = Window.orderBy("r_regionkey")
+    ring = (region
+            .withColumn("nxt", F.coalesce(
+                F.lead("r_regionkey").over(w),
+                F.min("r_regionkey").over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+            .select(*_edge(F.concat(F.lit("r/"), F.col("r_regionkey")),
+                           F.concat(F.lit("r/"), F.col("nxt")))))
+    keys = nation.select(F.col("n_nationkey").alias("k"))
+    chain = (keys.alias("x")
+             .join(keys.alias("y"), on=F.col("y.k") == F.col("x.k") + 1)
+             .select(*_edge(F.concat(F.lit("n/"), F.col("x.k")),
+                            F.concat(F.lit("n/"), F.col("y.k")))))
+    triples = ring.unionByName(chain)
+    shapes = [{"label": "CycleShape", "constraints": [
+        {"path": EX + "next", "minCount": 1, "maxCount": 1,
+         "exclusive": True,
+         "node": {"kind": "ref", "label": "CycleShape"}}]}]
+    nodes = (region.select(F.concat(F.lit(EX + "r/"),
+                                    F.col("r_regionkey")).alias("node"))
+             .unionByName(nation.select(
+                 F.concat(F.lit(EX + "n/"),
+                          F.col("n_nationkey")).alias("node"))))
+    focus = nodes.select("node", F.lit("CycleShape").alias("shape"),
+                         F.lit("node").alias("selector"))
+    engine = ValidationEngine(spark, SchemaDict.from_json(shapes), triples)
+    res = engine.validate(focus, with_status=True)
+    return res.conformance.select("node", "shape", "conforms", "status")
+
+
+# ---------------------------------------------------------------------------
+# 9. SHACL-SHACL meta-validation through the driver gate: the W3C
+#    shapes-of-shapes graph self-validates with zero violations — the
+#    deepest nested-shape plan in the corpus (18 shapes, 38-constraint
+#    ShapeShape, alternative/zeroOrMore paths) as a registry query with
+#    a constant oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("kg_shacl_meta", oracle="SELECT CAST(0 AS BIGINT) AS n_violations")
+def kg_shacl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .meta import shacl_shacl_violations
+
+    n = shacl_shacl_violations(spark)
+    return spark.createDataFrame([(n,)], "n_violations long")
 
 
 from . import queries_data  # noqa: E402,F401  (registers data-pipeline queries)

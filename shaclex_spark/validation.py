@@ -51,9 +51,16 @@ FCOLS = ["f_kind", "f_value", "f_dt", "f_lang"]
 
 
 def node_key_col(kind: Column, value: Column, dt: Column, lang: Column) -> Column:
-    """Single string identity key for an RDF term (null-safe on dt/lang)."""
-    return F.concat_ws("", kind, value, F.coalesce(dt, F.lit("")),
-                       F.coalesce(lang, F.lit("")))
+    """Single string identity key for an RDF term (null-safe on dt/lang).
+
+    Fields join on an ASCII \\x01 separator (an empty separator would
+    collide literal "aX"^^<b> with "a"^^<Xb> -- this key is the
+    join/dedup identity for candidates, ref joins and sh:equals, so a
+    collision silently merges distinct terms). Null dt/lang map to a
+    DISTINCT \\x02 marker so an absent datatype cannot collide with an
+    empty-string one."""
+    return F.concat_ws("", kind, value, F.coalesce(dt, F.lit("")),
+                       F.coalesce(lang, F.lit("")))
 
 
 def focus_to_candidates(focus: DataFrame) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Round-3 regression tests for the judge/advisor findings:
+
+1. node_key collision (VERDICT r2 'What's wrong' #1): distinct RDF
+   terms must never share a node_key — the ADVICE colliding pair is
+   literal "aX"^^<b> vs "a"^^<Xb>; also null dt must differ from
+   empty-string dt.
+2. extraction NULL-text tolerance (ADVICE low): the literal-substring
+   prefilter used to boolean-index with an NA mask and raise on any
+   batch containing a NULL text row.
+3. connected_components vertex guard (ADVICE medium): a sparse-edge
+   graph with a vertex set above the driver threshold must take the
+   distributed path (and still produce correct labels) instead of
+   collecting every vertex to the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from shaclex_spark.validation import node_key_col
+
+
+def _keys(spark, rows):
+    df = spark.createDataFrame(
+        rows, "kind string, value string, dt string, lang string")
+    out = df.select(node_key_col(
+        F.col("kind"), F.col("value"), F.col("dt"), F.col("lang")
+    ).alias("k")).collect()
+    return [r["k"] for r in out]
+
+
+def test_node_key_no_collision_across_field_boundary(spark):
+    # ADVICE pair: "aX"^^<b> vs "a"^^<Xb> — same concatenation under an
+    # empty separator.
+    ks = _keys(spark, [("literal", "aX", "b", None),
+                       ("literal", "a", "Xb", None)])
+    assert ks[0] != ks[1]
+
+
+def test_node_key_value_vs_kind_boundary(spark):
+    ks = _keys(spark, [("iri", "x", None, None),
+                       ("ir", "ix", None, None)])
+    assert ks[0] != ks[1]
+
+
+def test_node_key_null_dt_differs_from_empty_dt(spark):
+    ks = _keys(spark, [("literal", "a", None, None),
+                       ("literal", "a", "", None)])
+    assert ks[0] != ks[1]
+
+
+def test_node_key_lang_vs_dt_slot(spark):
+    ks = _keys(spark, [("literal", "a", "en", None),
+                       ("literal", "a", None, "en")])
+    assert ks[0] != ks[1]
+
+
+def test_extract_batch_tolerates_null_text():
+    from shaclex_spark.extraction import _extract_batch
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": [0, 0, 1],
+        "text": ["Alice knows Bob.", None, "Alice is 30 years old."],
+    })
+    out = _extract_batch(pdf)
+    assert len(out) == 2
+    assert set(out["conv_id"]) == {"c1", "c3"}
+
+
+def test_cc_distributed_when_many_isolated_vertices(spark):
+    from shaclex_spark.linking import connected_components
+
+    edges = spark.createDataFrame([("a", "b")], "a string, b string")
+    verts = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(20)] + [("a",), ("b",)],
+        "mention string")
+    # driver_threshold below the vertex count: edge count (1) passes the
+    # edge gate, the vertex guard must reject the driver path and the
+    # distributed star-contraction must still label correctly.
+    labels = connected_components(edges, verts, driver_threshold=10)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got["a"] == "a" and got["b"] == "a"
+    assert got["v000"] == "v000" and len(got) == 22
