@@ -119,7 +119,8 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
                    shingle_k: int = 1,
                    max_bucket_size: int | None = None,
                    verbose: bool = False,
-                   shingles: DataFrame | None = None) -> DataFrame:
+                   shingles: DataFrame | None = None,
+                   salt_hot_buckets: bool = False) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 minhash band bucket.
 
     Shuffles: one groupBy(id) for signatures, one band-bucket self-join
@@ -147,7 +148,8 @@ def lsh_candidates(docs: DataFrame, id_col: str, text_col: str,
     ).select("i", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size:
         from ..linking import _cap_buckets
-        bands = _cap_buckets(bands, max_bucket_size, verbose)
+        bands = _cap_buckets(bands, max_bucket_size, verbose,
+                             salt=salt_hot_buckets)
     left = bands.select("band", "bucket", F.col("i").alias("a"))
     right = bands.select("band", "bucket", F.col("i").alias("b"))
     return (left.join(right, on=["band", "bucket"])

@@ -58,13 +58,30 @@ MAX_BUCKET_SIZE = 2000  # hot-bucket cap: a degenerate bucket of size s
 
 
 def _cap_buckets(bands: DataFrame, max_bucket_size: int | None,
-                 verbose: bool = False) -> DataFrame:
-    """Drop (band, bucket) groups larger than the cap. Hot buckets are
-    few by definition ⇒ the over-cap list is broadcast into an
-    anti-join; the sizes aggregation is one map-side-combined shuffle."""
+                 verbose: bool = False, salt: bool = False) -> DataFrame:
+    """Bound the per-bucket self-join cost of (band, bucket) groups
+    larger than the cap. Hot buckets are few by definition ⇒ the
+    over-cap list (with sizes) is broadcast; the sizes aggregation is
+    one map-side-combined shuffle.
+
+    salt=False (drop): over-cap buckets are removed entirely — right
+    for degenerate boilerplate (empty docs, templated banners) whose
+    members exact-dedup should have eaten first.
+
+    salt=True (split): an over-cap bucket of size s is split into
+    ceil(s/cap) hash-salted sub-buckets, so the pair join runs
+    per-sub-bucket: cost drops from s² to ~s·cap while every member
+    still pairs with ~cap co-members. For a LEGITIMATE large near-dup
+    cluster (which shares ALL bands, so dropping would erase it from
+    every band) this keeps recall: each band partitions the cluster
+    differently (the salt is keyed on the member id AND the bucket
+    hash, which differs per band), so the union of within-sub-bucket
+    cliques across bands connects the cluster — downstream
+    canonicalization needs connectivity, not every individual pair."""
     if not max_bucket_size:
         return bands
     key = [c for c in ("band", "bucket") if c in bands.columns]
+    id_col = next(c for c in bands.columns if c not in key)
     hot = (bands.groupBy(*key).agg(F.count("*").alias("__sz"))
            .filter(F.col("__sz") > max_bucket_size))
     if verbose:
@@ -72,15 +89,28 @@ def _cap_buckets(bands: DataFrame, max_bucket_size: int | None,
         dropped = hot.agg(F.coalesce(F.sum("__sz"), F.lit(0)).alias("n")) \
             .collect()[0]["n"]
         logging.getLogger(__name__).warning(
-            "LSH hot-bucket cap %d: dropping %d band-rows", max_bucket_size,
-            dropped)
-    return bands.join(F.broadcast(hot.select(*key)), on=key, how="left_anti")
+            "LSH hot-bucket cap %d: %s %d band-rows", max_bucket_size,
+            "salting" if salt else "dropping", dropped)
+    if not salt:
+        return bands.join(F.broadcast(hot.select(*key)), on=key,
+                          how="left_anti")
+    joined = bands.join(F.broadcast(hot), on=key, how="left")
+    n_sub = F.ceil(F.col("__sz") / F.lit(max_bucket_size))
+    salted_bucket = F.when(
+        F.col("__sz").isNull(), F.col("bucket")).otherwise(
+        # re-key: sub-bucket id folded into the bucket hash; keyed on
+        # (member, bucket) so each band splits a cluster differently
+        F.xxhash64(F.col("bucket"),
+                   F.pmod(F.xxhash64(F.col(id_col), F.col("bucket")), n_sub)))
+    return joined.select(*[c for c in bands.columns if c != "bucket"],
+                         salted_bucket.alias("bucket"))
 
 
 def candidate_pairs(mentions: DataFrame, id_col: str = "mention",
                     n_bands: int = N_BANDS,
                     max_bucket_size: int | None = MAX_BUCKET_SIZE,
-                    verbose: bool = False) -> DataFrame:
+                    verbose: bool = False,
+                    salt_hot_buckets: bool = False) -> DataFrame:
     """LSH banding: mentions sharing any band bucket become candidate
     pairs (a < b). Output: (a, b) distinct.
 
@@ -103,7 +133,8 @@ def candidate_pairs(mentions: DataFrame, id_col: str = "mention",
             )
         ).alias("band", "bucket"),
     )
-    bands = _cap_buckets(bands, max_bucket_size, verbose)
+    bands = _cap_buckets(bands, max_bucket_size, verbose,
+                         salt=salt_hot_buckets)
     left = bands.select("band", "bucket", F.col("m").alias("a"))
     right = bands.select("band", "bucket", F.col("m").alias("b"))
     return (

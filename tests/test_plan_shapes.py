@@ -17,26 +17,46 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _ann_plan(spark, which: str) -> str:
+    from shaclex_spark.functions.similarity import ann_ivf_topk, ann_lsh_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    if which == "lsh":
+        df = ann_lsh_topk(emb, query_ids=list(range(8)), k=5,
+                          n_planes=8, n_tables=8, probe_hamming=2)
+    else:
+        df = ann_ivf_topk(emb, query_ids=list(range(8)), k=5,
+                          n_lists=16, n_probe=8)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_no_cartesian_products(spark):
-    """emb_topk is excluded from the nested-loop check: the brute-force
-    baseline IS corpus × broadcast(8 queries), physically a
-    BroadcastNestedLoopJoin with a tiny build side — by design."""
+    """emb_topk (and the emb_ann_* GATE queries, which join the ANN
+    output against that exact baseline for their recall oracle) are
+    excluded from the nested-loop check: the brute-force baseline IS
+    corpus × broadcast(8 queries), physically a
+    BroadcastNestedLoopJoin with a tiny build side — by design. The
+    raw ANN operators are pinned separately (_ann_plan)."""
     for name in ["kg_conformance_customer", "kg_sequence_path",
-                 "dedup_ngram_jaccard", "emb_ann_lsh",
-                 "emb_ann_ivf", "evt_sessionize", "txt_profile"]:
+                 "dedup_ngram_jaccard", "evt_sessionize", "txt_profile"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    assert "CartesianProduct" not in _plan(spark, "emb_topk")
+    for which in ("lsh", "ivf"):
+        plan = _ann_plan(spark, which)
+        assert "CartesianProduct" not in plan, which
+        assert "BroadcastNestedLoopJoin" not in plan, which
+    for name in ("emb_topk", "emb_ann_lsh", "emb_ann_ivf"):
+        assert "CartesianProduct" not in _plan(spark, name), name
 
 
 def test_ann_queries_use_broadcast_joins(spark):
     """The candidate joins of both ANN paths must broadcast the query
     side; a sort-merge join there shuffles the whole corpus."""
-    for name in ["emb_ann_lsh", "emb_ann_ivf"]:
-        plan = _plan(spark, name)
-        assert "BroadcastHashJoin" in plan, name
-        assert "SortMergeJoin" not in plan, name
+    for which in ("lsh", "ivf"):
+        plan = _ann_plan(spark, which)
+        assert "BroadcastHashJoin" in plan, which
+        assert "SortMergeJoin" not in plan, which
 
 
 def test_documents_scan_prunes_columns(spark):
