@@ -267,6 +267,13 @@ class PropertyConstraint:
     message: Optional[str] = None
 
     def refs(self) -> list[tuple[str, bool]]:
+        if self.qualified:
+            # EXTRA'd (qualified) TC: the value expression is evaluated
+            # under the negation EXTRA implies (arcs may notMatch and
+            # be ignored), so its refs occur in BOTH polarities — a
+            # cycle through one is not stratifiable (ShEx spec negated-
+            # reference rule; negativeStructure: Cycle2Extra).
+            return self.node.refs() + self.node.refs(True)
         return self.node.refs()
 
     def classes(self) -> set[str]:
@@ -374,6 +381,13 @@ class Shape:
             out.extend(ne.refs())
         for p in self.properties:
             out.extend(p.refs())
+            # SLang-mode shapes record ShEx EXTRA in `ignored` with the
+            # TC kept exclusive: refs on an EXTRA'd predicate still
+            # occur under EXTRA's implied negation, so add the negative
+            # polarity here too (negativeStructure: Cycle2Extra).
+            if (self.ignored and not p.qualified
+                    and p.path.kind == "pred" and p.path.iri in self.ignored):
+                out.extend(p.node.refs(True))
         for group in self.one_of:
             for p in group:
                 out.extend(p.refs())

@@ -34,10 +34,18 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]*))?)
   | (?P<card>[?*+])
   | (?P<repeat>\{\s*\d+\s*(?:,\s*(?:\d+|\*)?\s*)?\})
-  | (?P<pname>\^?[A-Za-z_][\w.-]*:[\w.-]*|\^?:[\w.-]+|:)
+  | (?P<pname>\^?[A-Za-z_][\w.-]*:(?![-.])[\w.-]*|\^?:(?![-.])[\w.-]+|:)
   | (?P<keyword>[A-Za-z]+)
   | (?P<punct>[{}();@\[\].,^|])
 """, re.VERBOSE)
+
+# IRIREF body per the ShExC/Turtle grammar: any char except controls,
+# space and <>"{}|^`\  — backslash only as a well-formed UCHAR
+# (\uHHHH / \UHHHHHHHH). Rejects ECHAR escapes (\n), PN_LOCAL_ESC
+# (\/), raw spaces and malformed UCHARs (negativeSyntax corpus:
+# IRIREF-with-* cases).
+_IRI_BODY_RE = re.compile(
+    r"(?:[^\x00-\x20<>\"{}|^`\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*\Z")
 
 
 class ShExCError(ValueError):
@@ -52,8 +60,11 @@ def _tokenize(text: str) -> list[str]:
         if between:
             raise ShExCError(f"unexpected input: {between!r}")
         pos = m.end()
-        if m.lastgroup != "comment":
-            out.append(m.group(0))
+        if m.lastgroup == "comment":
+            continue
+        if m.lastgroup == "iri" and not _IRI_BODY_RE.match(m.group(0)[1:-1]):
+            raise ShExCError(f"malformed IRIREF: {m.group(0)!r}")
+        out.append(m.group(0))
     rest = text[pos:].strip()
     if rest:
         raise ShExCError(f"unexpected trailing input: {rest!r}")
@@ -122,6 +133,10 @@ class _Parser:
 
     def parse_shape_decl(self) -> dict:
         label_tok = self.next()
+        if label_tok == "a":
+            # 'a' is the rdf:type predicate keyword, never a shape name
+            # (negativeSyntax: shapename-a)
+            raise ShExCError("'a' cannot name a shape")
         label = (label_tok[1:-1] if label_tok.startswith("<")
                  else self.resolve(label_tok))
         spec: dict = {"label": label, "constraints": []}
@@ -163,6 +178,10 @@ class _Parser:
                     elif self.peek() == "|":
                         self.next()
                         inner.append([])
+                    elif self.peek() != ")":
+                        raise ShExCError(
+                            f"expected ';', '|' or ')' after triple "
+                            f"constraint, got {self.peek()!r}")
                 self.expect(")")
                 gmin, gmax = self.parse_cardinality()
                 if (gmin, gmax) != (1, 1):
@@ -189,6 +208,12 @@ class _Parser:
             elif self.peek() == "|":   # top-level OneOf group separator
                 self.next()
                 groups.append([])
+            elif self.peek() != "}":
+                # adjacency without a separator is a syntax error
+                # (negativeSyntax: group-no-COMMA-separators)
+                raise ShExCError(
+                    f"expected ';', '|' or '}}' after triple constraint, "
+                    f"got {self.peek()!r}")
         self.expect("}")
         if len(groups) > 1:
             spec["oneOf"] = groups
@@ -270,6 +295,11 @@ class _Parser:
                 values.append(self.parse_value_set_member())
             self.expect("]")
             return {"kind": "in", "values": values}
+        if tok == "a":
+            # 'a' is only the rdf:type PREDICATE keyword; as a value
+            # expression a bare 'a' is invalid (negativeSyntax:
+            # 1dotAnnot_AIRIREF)
+            raise ShExCError("'a' is not a value expression")
         if self.is_iri_token(tok):
             self.next()
             return {"kind": "datatype", "iri": self.resolve(tok)}
