@@ -73,7 +73,11 @@ def build_kg(spark: SparkSession, transcripts: DataFrame,
 
 def validate_kg(spark: SparkSession, triples: DataFrame,
                 shapes_json: list[dict] | None = None,
-                shape_map: list[dict] | None = None) -> ValidationResult:
+                shape_map: list[dict] | None = None,
+                focus_filter: DataFrame | None = None) -> ValidationResult:
+    """``focus_filter``: optional one-column (node) relation; when set,
+    only focus nodes in it are validated (incremental resume path —
+    the caller guarantees soundness via _arc_local_schema)."""
     schema = SchemaDict.from_json(shapes_json or DEFAULT_SHAPES)
     plain = triples.select("subj", "pred", "obj_kind", "obj_value",
                            "obj_dt", "obj_lang")
@@ -82,7 +86,40 @@ def validate_kg(spark: SparkSession, triples: DataFrame,
         focus = shape_map_focus(spark, plain, shape_map)
     else:
         focus = target_focus(spark, schema, plain)
+    if focus_filter is not None:
+        focus = focus.join(focus_filter.select("node").distinct(),
+                           on="node", how="left_semi")
     return engine.validate(focus)
+
+
+def _arc_local_schema(shapes_json: list[dict] | None) -> bool:
+    """True when a node's conformance depends ONLY on its own incident
+    arcs (out- and in-arcs) and the terms at their ends — the soundness
+    condition for incremental re-validation: a node none of whose
+    incident arcs changed keeps its previous verdict.
+
+    Excluded (fall back to whole-graph validation): shape refs (a
+    clean node may reference a dirty VALUE whose conformance flipped),
+    class constraints / targetClass (membership rides the global
+    rdfs:subClassOf* closure), and multi-step paths
+    (sequence/alternative/closure traverse OTHER nodes' arcs)."""
+    schema = SchemaDict.from_json(shapes_json or DEFAULT_SHAPES)
+    if schema.dep_edges():
+        return False
+    for sh in schema.shapes.values():
+        if sh.classes():
+            return False
+        if any(t.kind == "targetClass" for t in sh.targets):
+            return False
+        all_props = (list(sh.properties)
+                     + [p for g in sh.one_of for p in g]
+                     + [m for b in sh.group_blocks for m in b.members]
+                     + ([p for alt in sh.repeat_alts.alts for p in alt]
+                        if sh.repeat_alts else []))
+        for pc in all_props:
+            if pc.path.kind not in ("pred", "inverse"):
+                return False
+    return True
 
 
 N_BUCKETS = 64
@@ -154,6 +191,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     re-extracted and overwritten (dynamic partition overwrite); clean
     buckets keep their existing output — idempotent restart."""
     n_skipped = 0
+    dirty_list: list | None = None
     if resume and output_dir:
         dirty = dirty_buckets(spark, transcripts, output_dir)
         if dirty is not None:
@@ -163,36 +201,93 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                 bucket_col().isin(dirty_list) if dirty_list else F.lit(False))
     triples, mapping = build_kg(spark, transcripts)
     triples = triples.withColumn("bucket", bucket_col())
+    n_affected = None
     if output_dir:
         # triples land FIRST (dynamic partition overwrite touches only
         # dirty buckets); validation + lineage then run over the FULL
         # on-disk table, so on resume the conformance/report/lineage of
         # CLEAN buckets is regenerated from their untouched triples
-        # instead of being clobbered by dirty-only output. Validation
-        # is whole-graph by nature (cross-bucket shape refs), so this
-        # is also the semantically correct scope.
+        # instead of being clobbered by dirty-only output.
+        #
+        # Incremental re-validation: when the schema is ARC-LOCAL
+        # (_arc_local_schema — no refs/classes/multi-step paths), a
+        # node's verdict can change only if one of its incident arcs
+        # changed, so only nodes touching the dirty buckets' OLD or NEW
+        # triples re-validate; clean nodes keep their prior conformance
+        # and report rows. At 100 TB that turns a full-graph validation
+        # into one ∝ the dirty fraction (the per-constraint joins are
+        # candidate-driven, and the candidate set shrinks to the
+        # affected nodes). Schemas with refs fall back to whole-graph
+        # validation (cross-bucket dependencies make per-node reuse
+        # unsound).
+        tri_path = os.path.join(output_dir, "triples")
+        can_incr = (resume and dirty_list is not None
+                    and _arc_local_schema(shapes_json))
+        old_dirty = prior_conf = prior_report = None
+        dirty_filter = (F.col("bucket").isin(dirty_list) if dirty_list
+                        else F.lit(False))
+        if can_incr:
+            try:
+                # snapshot BEFORE the overwrite (eager: the lazy plans
+                # would otherwise read the rewritten files)
+                old_dirty = (spark.read.parquet(tri_path)
+                             .filter(dirty_filter)
+                             .select("subj", "obj_kind", "obj_value")
+                             .localCheckpoint(eager=True))
+                prior_conf = spark.read.parquet(
+                    os.path.join(output_dir, "conformance")) \
+                    .localCheckpoint(eager=True)
+                prior_report = spark.read.parquet(
+                    os.path.join(output_dir, "report")) \
+                    .localCheckpoint(eager=True)
+            except Exception:
+                can_incr = False
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         triples.write.mode("overwrite").partitionBy("bucket") \
-            .parquet(os.path.join(output_dir, "triples"))
-        all_triples = spark.read.parquet(os.path.join(output_dir, "triples"))
-        result = validate_kg(spark, all_triples, shapes_json)
+            .parquet(tri_path)
+        all_triples = spark.read.parquet(tri_path)
+        if can_incr:
+            def _nodes(df: DataFrame) -> DataFrame:
+                return (df.select(F.col("subj").alias("node"))
+                        .unionByName(df.filter(F.col("obj_kind") == "iri")
+                                     .select(F.col("obj_value").alias("node"))))
+
+            new_dirty = all_triples.filter(dirty_filter) \
+                .select("subj", "obj_kind", "obj_value")
+            affected = (_nodes(old_dirty).unionByName(_nodes(new_dirty))
+                        .distinct().localCheckpoint(eager=True))
+            n_affected = affected.count()
+            result = validate_kg(spark, all_triples, shapes_json,
+                                 focus_filter=affected)
+            conf_df = (prior_conf.join(affected, on="node", how="left_anti")
+                       .unionByName(result.conformance
+                                    .select(*prior_conf.columns)))
+            report_df = (prior_report.join(
+                affected.withColumnRenamed("node", "focus_node"),
+                on="focus_node", how="left_anti")
+                .unionByName(result.report.select(*prior_report.columns)))
+        else:
+            result = validate_kg(spark, all_triples, shapes_json)
+            conf_df, report_df = result.conformance, result.report
         lineage = lineage_metrics(all_triples)
     else:
         all_triples = triples
         result = validate_kg(spark, triples, shapes_json)
+        conf_df, report_df = result.conformance, result.report
         lineage = lineage_metrics(triples)
     out = {
         "triples": all_triples,
         "mapping": mapping,
-        "conformance": result.conformance,
-        "report": result.report,
+        "conformance": conf_df,
+        "report": report_df,
         "lineage": lineage,
         "n_buckets_skipped": n_skipped,
+        "n_affected_nodes": n_affected,
     }
     if output_dir:
-        result.conformance.write.mode("overwrite") \
+        conf_df.write.mode("overwrite") \
             .parquet(os.path.join(output_dir, "conformance"))
-        result.report.write.mode("overwrite") \
+        report_df.write.mode("overwrite") \
             .parquet(os.path.join(output_dir, "report"))
         out["lineage"].write.mode("overwrite") \
             .parquet(os.path.join(output_dir, "lineage"))

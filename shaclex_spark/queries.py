@@ -404,10 +404,10 @@ def kg_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("shex_suite_scorecard", oracle="""
 SELECT * FROM (VALUES
-  ('correct', CAST(1051 AS BIGINT)),
+  ('correct', CAST(1064 AS BIGINT)),
   ('wrong',   CAST(0 AS BIGINT)),
   ('error',   CAST(0 AS BIGINT)),
-  ('skipped', CAST(37 AS BIGINT))
+  ('skipped', CAST(24 AS BIGINT))
 ) AS t(status, n)
 """)
 def shex_suite_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,6 +353,42 @@ def parse_group_block(spec: dict[str, Any]) -> GroupBlock:
     )
 
 
+@dataclass(frozen=True)
+class RepeatAlts:
+    """ShEx partition semantics for repeated predicates
+    (spec §'triple expression matching': the focus neighbourhood's
+    arcs over the mentioned predicates must be PARTITIONED among the
+    triple constraints, each consuming a count within its bounds).
+
+    ``alts`` holds one TC list per OneOf alternative (a single list
+    when the expression has no OneOf): the shape matches iff SOME
+    alternative admits a feasible partition. Feasibility per predicate
+    is a transportation problem — arcs are supplies (grouped by which
+    TCs their value satisfies), TCs are sinks with [min,max] bounds —
+    decided by the Gale-Hoffman subset conditions (validation.py
+    _eval_repeat_alts), all as conditional aggregates in one groupBy.
+
+    The reference engine reaches these semantics through its external
+    shex partition matcher (suite entries PstarT / nPlus1 /
+    false-lead-excluding-value-shape et al.); this is the declarative
+    (exhaustive) reading, not the greedy strategy."""
+
+    mentioned: tuple[str, ...]                 # all predicates in the expr
+    alts: tuple[tuple[PropertyConstraint, ...], ...]
+
+
+def parse_repeat_alts(spec: dict[str, Any]) -> RepeatAlts:
+    alts = tuple(tuple(parse_property(p) for p in alt)
+                 for alt in spec["alts"])
+    for alt in alts:
+        for pc in alt:
+            if not pc.path.is_simple_pred:
+                raise SchemaError(
+                    "repeat partition groups support simple predicate "
+                    "paths only")
+    return RepeatAlts(mentioned=tuple(spec["mentioned"]), alts=alts)
+
+
 @dataclass
 class Shape:
     label: str
@@ -362,6 +398,8 @@ class Shape:
     # ShEx OneOf in the flat form (SURVEY.md §2.4): exclusive choice
     # among groups of triple constraints — exactly one group must hold.
     one_of: list[list[PropertyConstraint]] = field(default_factory=list)
+    # ShEx repeated-predicate partition semantics (see RepeatAlts)
+    repeat_alts: Optional[RepeatAlts] = None
     # ShEx group cardinality blocks `( TC... ){m,n}` (see GroupBlock)
     group_blocks: list[GroupBlock] = field(default_factory=list)
     closed: bool = False
@@ -394,6 +432,10 @@ class Shape:
         for blk in self.group_blocks:
             for p in blk.members:
                 out.extend(p.refs())
+        if self.repeat_alts:
+            for alt in self.repeat_alts.alts:
+                for p in alt:
+                    out.extend(p.refs())
         return out
 
     def classes(self) -> set[str]:
@@ -405,6 +447,10 @@ class Shape:
         for blk in self.group_blocks:
             for p in blk.members:
                 out |= p.classes()
+        if self.repeat_alts:
+            for alt in self.repeat_alts.alts:
+                for p in alt:
+                    out |= p.classes()
         return out
 
     def declared_preds(self) -> set[str]:
@@ -421,6 +467,8 @@ class Shape:
         for blk in self.group_blocks:
             for p in blk.members:
                 out.add(p.path.iri)
+        if self.repeat_alts:
+            out |= set(self.repeat_alts.mentioned)
         return out
 
 
@@ -439,6 +487,8 @@ def parse_shape(spec: dict[str, Any]) -> Shape:
                 for group in spec.get("oneOf", [])],
         group_blocks=[parse_group_block(b)
                       for b in spec.get("groupBlocks", [])],
+        repeat_alts=(parse_repeat_alts(spec["repeatAlts"])
+                     if spec.get("repeatAlts") else None),
         closed=bool(spec.get("closed", False)),
         ignored=list(spec.get("extra", spec.get("ignored", []))),
         deactivated=bool(spec.get("deactivated", False)),

@@ -32,15 +32,14 @@ from dataclasses import dataclass, field
 
 SUITE_ROOT = "/root/reference/src/test/resources/shexTest"
 
-# Traits whose entries exercise semantics outside the flat fragment.
-# (Import/Include resolve through the ShExJ reader's import merging +
-# tripleExprRef substitution, so they are ATTEMPTED, not skipped.)
+# Traits whose entries exercise semantics outside the implemented
+# fragment. (Import/Include resolve through the ShExJ reader;
+# Greedy/Exhaustive/MissedMatchables/RepeatedGroup entries are
+# ATTEMPTED since round 3 — the engine implements the declarative
+# partition semantics (RepeatAlts) which IS the exhaustive reading.)
 SKIP_TRAITS = {
     "SemanticAction", "ExternalSemanticAction", "OrderedSemanticActions",
     "ExternalShape", "shapeExterns", "semActs",
-    "Greedy", "Exhaustive", "RepeatedGroup",
-    # matchability/partition-search behaviors of the spec matcher
-    "MissedMatchables",
 }
 
 
@@ -176,7 +175,31 @@ def load_manifest(root: str = SUITE_ROOT) -> list[Entry]:
             skip=skip,
             assoc=assoc,
         ))
+    _skip_strategy_conflicts(entries)
     return entries
+
+
+def _skip_strategy_conflicts(entries: list[Entry]) -> None:
+    """The manifest encodes MATCHING-STRATEGY-dependent expectations:
+    the same (schema, data, shape, focus) appears twice with OPPOSITE
+    expected results under different traits (nPlus1 [Exhaustive,
+    expect pass] vs nPlus1-greedy_fail [Greedy, expect fail]; PTstar
+    vs PTstar-greedy-fail). One engine cannot satisfy both. This
+    engine implements the declarative/exhaustive partition semantics,
+    so within each conflicting group the Greedy-trait entries (which
+    encode the non-backtracking strategy's failure) are skipped by
+    FEATURE — detected mechanically from the manifest itself, never
+    from our own results."""
+    groups: dict[tuple, list[Entry]] = {}
+    for e in entries:
+        if e.skip or e.assoc is not None:
+            continue
+        groups.setdefault((e.schema, e.data, e.shape, e.focus), []).append(e)
+    for group in groups.values():
+        if len({e.expected for e in group}) > 1:
+            for e in group:
+                if "Greedy" in e.traits:
+                    e.skip = "strategy-conflict:Greedy"
 
 
 # --------------------------------------------------------------- schema load

@@ -220,31 +220,69 @@ class _Conv:
             spec["oneOf"] = one_of
         self._check_repeats(spec)
 
+    MAX_REPEAT_TCS = 6  # Gale-Hoffman subset conditions are 2^k per pred
+
     def _check_repeats(self, spec: dict) -> None:
         """Repeated predicates inside one expression need the spec's
-        partition-matching (each arc consumed by exactly one TC slot) —
-        outside the flat fragment the engine's independent two-count
-        evaluation implements. Alternatives of a OneOf don't interact,
-        so repeats ACROSS groups are fine; repeats within a group, or
-        between the EachOf constraints and any group, are not."""
+        partition-matching (each arc consumed by exactly one TC slot).
+        For the declarative (exhaustive) fragment — simple forward
+        predicates, no EXTRA on the repeated predicate — this compiles
+        to a ``repeatAlts`` block (shapes.RepeatAlts): one TC list per
+        OneOf alternative, decided per focus by transportation
+        feasibility (validation._eval_repeat_alts). Repeats involving
+        group-cardinality blocks, inverse paths or EXTRA'd predicates
+        stay out of the fragment and raise."""
 
-        def keys(cs: list[dict]) -> list[tuple]:
-            out = []
-            for c in cs:
-                p = c["path"]
-                out.append((p["kind"], p["iri"]) if isinstance(p, dict)
-                           else ("pred", p))
-            return out
+        def key(c: dict) -> tuple:
+            p = c["path"]
+            return (p["kind"], p["iri"]) if isinstance(p, dict) \
+                else ("pred", p)
 
-        base = keys(spec.get("constraints", []))
-        for blk in spec.get("groupBlocks", []):
-            base += keys(blk["members"])
-        if len(base) != len(set(base)):
+        base = spec.get("constraints", [])
+        one_of = spec.get("oneOf", [])
+        block_keys = [key(m) for blk in spec.get("groupBlocks", [])
+                      for m in blk["members"]]
+        base_keys = [key(c) for c in base]
+        oneof_keys = [[key(c) for c in g] for g in one_of]
+        all_oneof = {k for gk in oneof_keys for k in gk}
+        # group-cardinality blocks never join a partition group
+        if (len(block_keys) != len(set(block_keys))
+                or set(block_keys) & (set(base_keys) | all_oneof)):
             raise UnsupportedShExJ("repeated-predicate")
-        for group in spec.get("oneOf", []):
-            gk = keys(group)
-            if len(gk) != len(set(gk)) or set(gk) & set(base):
+        need_partition = (
+            len(set(base_keys)) != len(base_keys)
+            or any(set(gk) & set(base_keys) for gk in oneof_keys)
+            or any(len(set(gk)) != len(gk) for gk in oneof_keys))
+        if not need_partition:
+            return
+
+        def simple(c: dict) -> bool:
+            return isinstance(c["path"], str) and not c.get("qualified")
+
+        base_simple = [c for c in base if simple(c)]
+        base_rest = [c for c in base if not simple(c)]
+        # a repeat through an inverse/EXTRA'd TC is outside the fragment
+        rest_keys = [key(c) for c in base_rest]
+        if (len(set(rest_keys)) != len(rest_keys)
+                or set(rest_keys) & (set(k for c in base_simple
+                                          for k in [key(c)]) | all_oneof)):
+            raise UnsupportedShExJ("repeated-predicate")
+        if any(not simple(c) for g in one_of for c in g):
+            raise UnsupportedShExJ("repeated-predicate")
+
+        alts = [base_simple + g for g in one_of] or [base_simple]
+        mentioned: list[str] = []
+        for alt in alts:
+            per_pred: dict[str, int] = {}
+            for c in alt:
+                per_pred[c["path"]] = per_pred.get(c["path"], 0) + 1
+                if c["path"] not in mentioned:
+                    mentioned.append(c["path"])
+            if any(n > self.MAX_REPEAT_TCS for n in per_pred.values()):
                 raise UnsupportedShExJ("repeated-predicate")
+        spec["repeatAlts"] = {"mentioned": mentioned, "alts": alts}
+        spec["constraints"] = base_rest
+        spec.pop("oneOf", None)
 
     # ----------------------------------------------------- triple exprs
 

@@ -88,6 +88,9 @@ def _tokenize(text: str):
 Term = tuple  # (kind, value, dt, lang) with kind in iri|bnode|literal
 
 
+_ABS_IRI_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
 class TurtleParser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
@@ -96,6 +99,15 @@ class TurtleParser:
         self.base = ""
         self.triples: list[tuple[Term, str, Term]] = []
         self._bnode_n = 0
+
+    def _resolve_iri(self, iri: str) -> str:
+        """Resolve against @base ONLY when relative (no scheme):
+        base-prefixing an absolute IRI corrupted predicates in data
+        files that declare BASE before an absolute PREFIX (Pstar.ttl:
+        ':a' became <base><http://a.example/a>)."""
+        if self.base and not _ABS_IRI_RE.match(iri):
+            return self.base + iri
+        return iri
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -133,7 +145,7 @@ class TurtleParser:
                 if not pname.endswith(":"):
                     raise TurtleError(f"bad prefix: {pname!r}")
                 _, iri, _ = self._next()
-                self.prefixes[pname[:-1]] = self.base + iri[1:-1]
+                self.prefixes[pname[:-1]] = self._resolve_iri(iri[1:-1])
                 if self._peek() and self._peek()[1] == ".":
                     self._next()
                 continue
@@ -176,8 +188,7 @@ class TurtleParser:
         if val == "a":
             return RDF + "type"
         if kind == "iri":
-            return self.base + val[1:-1] if not val[1:-1].startswith("http") \
-                else val[1:-1]
+            return self._resolve_iri(unescape(val[1:-1]))
         if kind == "pname":
             return self._resolve_pname(val)
         raise TurtleError(f"bad predicate: {val!r}")
@@ -195,10 +206,7 @@ class TurtleParser:
     def _parse_term(self, subject: bool) -> Term:
         kind, val, suffix = self._next()
         if kind == "iri":
-            iri = unescape(val[1:-1])
-            if self.base and not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", iri):
-                iri = self.base + iri
-            return ("iri", iri, None, None)
+            return ("iri", self._resolve_iri(unescape(val[1:-1])), None, None)
         if kind == "pname":
             return ("iri", self._resolve_pname(val), None, None)
         if kind == "bnode":

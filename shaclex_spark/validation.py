@@ -531,6 +531,14 @@ class ValidationEngine:
                 for pc in blk.members:
                     for ref in _collect_refs(pc.node):
                         edges.append((lbl, ref, pc))
+            if sh.repeat_alts:
+                seen: set[tuple[str, str]] = set()
+                for alt in sh.repeat_alts.alts:
+                    for pc in alt:
+                        for ref in _collect_refs(pc.node):
+                            if (pc.path.iri, ref) not in seen:
+                                seen.add((pc.path.iri, ref))
+                                edges.append((lbl, ref, pc))
         return edges
 
     def _derive_candidates(self, fa: DataFrame,
@@ -663,6 +671,7 @@ class ValidationEngine:
                                  and not shape.properties
                                  and not shape.one_of
                                  and not shape.group_blocks
+                                 and not shape.repeat_alts
                                  and not shape.closed):
             return cand.withColumn("conforms", F.lit(True)), reports
 
@@ -782,6 +791,12 @@ class ValidationEngine:
             flag = f"__grp_{bi}_ok"
             dfg = self._eval_group_block(shape, cand, conf, blk, flag, reports)
             ok_flags.append((flag, dfg))
+
+        # ShEx repeated-predicate partition semantics (RepeatAlts)
+        if shape.repeat_alts:
+            dfr = self._eval_repeat_alts(shape, cand, conf,
+                                         "__repeat_ok", reports)
+            ok_flags.append(("__repeat_ok", dfr))
 
         # pairwise sibling constraints
         for i, pc in enumerate(shape.properties):
@@ -1030,6 +1045,128 @@ class ValidationEngine:
             F.lit(shape.message).cast("string").alias("message"),
         ))
         return grouped.select(KEY, ok.alias(flag))
+
+    # -- repeated-predicate partition (RepeatAlts) -------------------------
+
+    def _eval_repeat_alts(self, shape: Shape, cand: DataFrame,
+                          conf: dict[str, DataFrame],
+                          flag: str, reports: list[DataFrame]) -> DataFrame:
+        """ShEx partition semantics for repeated predicates: the focus
+        node's arcs over the mentioned predicates must be partitioned
+        among the triple constraints of SOME OneOf alternative, each TC
+        consuming a count within [min,max] (suite: PstarT / P2T2 /
+        nPlus1 / false-lead-excluding-value-shape families).
+
+        Physical shape: ONE left join on the mentioned predicates + ONE
+        grouped conditional aggregate — identical to the fused
+        simple-pred plan, so it scales the same way. Feasibility per
+        (alternative, predicate) is a transportation problem decided by
+        the Gale–Hoffman subset conditions over arc classes:
+
+          * none  = arcs satisfying NO member TC ⇒ must be 0 (every
+            matchable arc is consumed; the predicate is mentioned);
+          * for every nonempty subset S of the ≤ MAX_REPEAT_TCS member
+            TCs: arcs satisfying ONLY TCs in S must fit under
+            Σ max(S) (skipped when S has an unbounded member), and
+            Σ min(S) must be coverable by arcs satisfying ANY TC in S.
+
+        These conditions are necessary and sufficient for an exact
+        partition (bipartite flow integrality), so this is the
+        declarative/exhaustive reading of the spec — not the greedy
+        strategy (trait:Greedy suite entries that encode greedy-only
+        failures stay skipped)."""
+        ra = shape.repeat_alts
+        preds = list(ra.mentioned)
+        ts = (self.triples.filter(F.col("pred").isin(preds))
+              .select("subj", "pred", "obj_kind", "obj_value",
+                      "obj_dt", "obj_lang"))
+        arcs = cand.join(ts, on=cand["f_value"] == ts["subj"],
+                         how="left").drop("subj")
+        refs: set[str] = set()
+        classes: set[str] = set()
+        for alt in ra.alts:
+            for pc in alt:
+                refs |= _collect_refs(pc.node)
+                classes |= _collect_classes(pc.node)
+        arcs, ref_cols, cls_cols = self._join_term_bools(
+            arcs, "obj_", refs, classes, conf)
+        tc = self._term_cols("obj_", ref_cols, cls_cols)
+
+        aggs: list[Column] = []
+        for p_i, p in enumerate(preds):
+            aggs.append(F.count(F.when(F.col("pred") == p, F.lit(1)))
+                        .alias(f"__rp_n_{p_i}"))
+        alt_by_pred: list[dict[str, list]] = []
+        for j, alt in enumerate(ra.alts):
+            by_pred: dict[str, list] = {}
+            for pc in alt:
+                by_pred.setdefault(pc.path.iri, []).append(pc)
+            alt_by_pred.append(by_pred)
+            for p, tcs in by_pred.items():
+                p_i = preds.index(p)
+                on_p = F.col("pred") == p
+                # NULL-safe per-arc member satisfaction (a missed conf
+                # join must read False, not NULL — a NULL leaking into
+                # ~any_match would silently drop the arc from `none`)
+                v_oks = [F.coalesce(compile_expr(pc.node, tc), F.lit(False))
+                         for pc in tcs]
+                any_match = v_oks[0]
+                for v in v_oks[1:]:
+                    any_match = any_match | v
+                aggs.append(F.count(F.when(on_p & ~any_match, F.lit(1)))
+                            .alias(f"__ra_{j}_{p_i}_none"))
+                k = len(tcs)
+                for s in range(1, 1 << k):
+                    in_s = F.lit(False)
+                    out_s = F.lit(False)
+                    for b in range(k):
+                        if s & (1 << b):
+                            in_s = in_s | v_oks[b]
+                        else:
+                            out_s = out_s | v_oks[b]
+                    aggs.append(
+                        F.count(F.when(on_p & in_s, F.lit(1)))
+                        .alias(f"__ra_{j}_{p_i}_reach_{s}"))
+                    aggs.append(
+                        F.count(F.when(on_p & any_match & ~out_s, F.lit(1)))
+                        .alias(f"__ra_{j}_{p_i}_only_{s}"))
+
+        grouped = arcs.groupBy(KEY, "f_value").agg(*aggs)
+
+        feasible_any = F.lit(False)
+        for j, by_pred in enumerate(alt_by_pred):
+            cond = F.lit(True)
+            for p_i, p in enumerate(preds):
+                tcs = by_pred.get(p)
+                if not tcs:
+                    # alternative has no slot for this mentioned pred:
+                    # any arc on it is an unmatched matchable
+                    cond = cond & (F.col(f"__rp_n_{p_i}") == 0)
+                    continue
+                cond = cond & (F.col(f"__ra_{j}_{p_i}_none") == 0)
+                k = len(tcs)
+                for s in range(1, 1 << k):
+                    members = [tcs[b] for b in range(k) if s & (1 << b)]
+                    if all(pc.max_count is not None for pc in members):
+                        cap = sum(pc.max_count for pc in members)
+                        cond = cond & (
+                            F.col(f"__ra_{j}_{p_i}_only_{s}") <= cap)
+                    need = sum(pc.min_count for pc in members)
+                    if need > 0:
+                        cond = cond & (
+                            F.col(f"__ra_{j}_{p_i}_reach_{s}") >= need)
+            feasible_any = feasible_any | cond
+
+        reports.append(grouped.filter(~feasible_any).select(
+            F.col("f_value").alias("focus_node"),
+            F.lit(shape.label).alias("source_shape"),
+            F.lit("PartitionConstraintComponent").alias("component"),
+            F.lit(shape.severity).alias("severity"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("|".join(preds)).alias("path"),
+            F.lit(shape.message).cast("string").alias("message"),
+        ))
+        return grouped.select(KEY, feasible_any.alias(flag))
 
     # -- complex-path property ------------------------------------------------
 

@@ -31,6 +31,8 @@ def test_resume_skips_clean_buckets(spark):
             F.when(F.col("conv_id") == "conv00000003",
                    F.concat(F.col("text"), F.lit(" edited")))
             .otherwise(F.col("text")))
+        pre_conf = {(r.node, r.shape): r.conforms for r in
+                    spark.read.parquet(f"{out_dir}/conformance").collect()}
         third = run_pipeline(spark, perturbed, output_dir=out_dir,
                              resume=True)
         assert third["n_buckets_skipped"] < 64
@@ -43,3 +45,64 @@ def test_resume_skips_clean_buckets(spark):
         first_buckets = {r.bucket for r in
                          first["lineage"].select("bucket").collect()}
         assert buckets == first_buckets
+        # incremental re-validation (arc-local DEFAULT_SHAPES): only
+        # nodes incident to the dirty buckets' old/new triples were
+        # re-validated — far fewer than the whole focus set
+        n_focus_total = len(pre_conf)
+        assert third["n_affected_nodes"] is not None
+        assert third["n_affected_nodes"] < n_focus_total
+        # clean-bucket conformance rows carried over UNCHANGED
+        post_conf = {(r.node, r.shape): r.conforms for r in
+                     spark.read.parquet(f"{out_dir}/conformance").collect()}
+        assert set(post_conf) == set(pre_conf)  # same focus universe
+        same = sum(1 for k in pre_conf if post_conf[k] == pre_conf[k])
+        assert same >= len(pre_conf) - third["n_affected_nodes"]
+
+
+def test_incremental_matches_full_revalidation(spark):
+    """The incremental path's conformance must be IDENTICAL to a full
+    whole-graph re-validation of the same final state (soundness of
+    the arc-local gate)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shaclex_spark.pipeline import run_pipeline, validate_kg
+    from shaclex_spark.transcripts import synth_transcripts
+
+    transcripts, _ = synth_transcripts(spark, 40, seed=7)
+    perturbed = transcripts.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "conv00000001",
+               F.lit("Alice Moore is 200 years old."))
+        .otherwise(F.col("text")))
+    with tempfile.TemporaryDirectory() as out_dir:
+        run_pipeline(spark, transcripts, output_dir=out_dir)
+        run_pipeline(spark, perturbed, output_dir=out_dir, resume=True)
+        incr = {(r.node, r.shape): r.conforms for r in
+                spark.read.parquet(f"{out_dir}/conformance").collect()}
+        full = validate_kg(spark,
+                           spark.read.parquet(f"{out_dir}/triples"))
+        ref = {(r.node, r.shape): r.conforms
+               for r in full.conformance.collect()}
+        assert incr == ref
+
+
+def test_arc_local_gate_rejects_ref_schemas():
+    from shaclex_spark.pipeline import DEFAULT_SHAPES, _arc_local_schema
+
+    assert _arc_local_schema(DEFAULT_SHAPES) is True
+    assert _arc_local_schema(None) is True
+    with_ref = [
+        {"label": "A", "constraints": [
+            {"path": "http://x/p", "node": {"kind": "ref", "label": "B"}}]},
+        {"label": "B", "constraints": [{"path": "http://x/q", "minCount": 1}]},
+    ]
+    assert _arc_local_schema(with_ref) is False
+    with_class = [{"label": "A", "constraints": [
+        {"path": "http://x/p", "node": {"kind": "class", "iri": "http://x/C"}}]}]
+    assert _arc_local_schema(with_class) is False
+    with_seq = [{"label": "A", "constraints": [
+        {"path": {"kind": "sequence", "steps": ["http://x/p", "http://x/q"]},
+         "minCount": 1}]}]
+    assert _arc_local_schema(with_seq) is False

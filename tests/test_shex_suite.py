@@ -4,7 +4,7 @@ Reference: src/test/resources/shexTest/validation/manifest.ttl (1088
 entries: 578 sht:ValidationTest + 510 sht:ValidationFailure), runner
 semantics per src/main/scala/es/weso/shaclex/ShExTestRunner.scala:16-34.
 
-Committed floor (round 2): ≥1051 attempted, ZERO wrong verdicts and
+Committed floor (round 3): ≥1064 attempted, ZERO wrong verdicts and
 zero engine errors among attempted; every skip is feature-classified
 (imports/semActs/external/shape-map/group-cardinality/partition
 semantics), never result-based.
@@ -19,7 +19,7 @@ from shaclex_spark.shex_suite import (
     scorecard,
 )
 
-ATTEMPTED_FLOOR = 1051
+ATTEMPTED_FLOOR = 1064
 
 
 def test_manifest_loads_all_entries():
