@@ -1,0 +1,94 @@
+"""Structured-Streaming ingestion (shaclex_spark/streaming.py):
+incremental extract→link over landing transcript files with
+checkpointed exactly-once batch processing, plus the watermarked
+monitoring aggregation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from shaclex_spark.transcripts import synth_transcripts
+
+
+@pytest.fixture()
+def dirs():
+    with tempfile.TemporaryDirectory() as d:
+        yield os.path.join(d, "in"), os.path.join(d, "out")
+
+
+def _land(spark, n_convs, seed, path):
+    t, golden = synth_transcripts(spark, n_convs, seed=seed)
+    t.coalesce(1).write.mode("append").parquet(path)
+    return t, golden
+
+
+def test_streaming_matches_batch_extraction(spark, dirs):
+    from shaclex_spark.pipeline import build_kg
+    from shaclex_spark.streaming import run_streaming_pipeline
+
+    in_dir, out_dir = dirs
+    t1, _ = _land(spark, 20, 1, in_dir)
+    out = run_streaming_pipeline(spark, in_dir, out_dir)
+    assert out["triples"] is not None
+    got = {tuple(r) for r in out["triples"]
+           .select("subj", "pred", "obj_kind", "obj_value").collect()}
+    ref_triples, _ = build_kg(spark, spark.read.parquet(in_dir))
+    ref = {tuple(r) for r in ref_triples
+           .select("subj", "pred", "obj_kind", "obj_value").collect()}
+    assert got == ref and len(got) > 0
+
+
+def test_streaming_resume_processes_only_new_files(spark, dirs):
+    from shaclex_spark.streaming import run_streaming_pipeline
+
+    in_dir, out_dir = dirs
+    _land(spark, 15, 1, in_dir)
+    out1 = run_streaming_pipeline(spark, in_dir, out_dir)
+    batches1 = {r.batch_id for r in out1["lineage"].collect()}
+    n1 = out1["triples"].count()
+
+    # second drain with NO new input: checkpoint skips everything
+    out2 = run_streaming_pipeline(spark, in_dir, out_dir)
+    assert out2["triples"].count() == n1
+    assert {r.batch_id for r in out2["lineage"].collect()} == batches1
+
+    # new files → exactly the delta processed, prior batches untouched
+    _land(spark, 10, 2, in_dir)
+    out3 = run_streaming_pipeline(spark, in_dir, out_dir)
+    batches3 = {r.batch_id for r in out3["lineage"].collect()}
+    assert batches1 < batches3
+    assert out3["triples"].count() > n1
+    # old batches' rows unchanged (idempotent partition layout)
+    old_rows = out3["triples"].filter(
+        out3["triples"].batch_id.isin(list(batches1))).count()
+    assert old_rows == n1
+
+
+def test_streaming_output_validates_like_batch(spark, dirs):
+    from shaclex_spark.pipeline import validate_kg
+    from shaclex_spark.streaming import run_streaming_pipeline
+
+    in_dir, out_dir = dirs
+    _land(spark, 20, 3, in_dir)
+    out = run_streaming_pipeline(spark, in_dir, out_dir)
+    res = validate_kg(spark, out["triples"])
+    assert res.conformance.count() > 0
+
+
+def test_turn_rate_watermarked_aggregation(spark, dirs):
+    from shaclex_spark.streaming import stream_transcripts, turn_rate
+
+    in_dir, _ = dirs
+    _land(spark, 30, 4, in_dir)
+    agg = turn_rate(stream_transcripts(spark, in_dir))
+    assert agg.isStreaming
+    q = (agg.writeStream.format("memory").queryName("turn_rate_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM turn_rate_t").collect()
+    assert rows and all(r.n_turns > 0 for r in rows)
+    roles = {r.role for r in rows}
+    assert {"user", "assistant"} <= roles
