@@ -27,7 +27,10 @@ REF_SEC = {
     "kg_sequence_path": 3.136,
     "kg_infer_customer": 1.111,
     "txt_profile": 0.486,
-    "dedup_ngram_jaccard": 1.526,
+    "dedup_ngram_jaccard": 1.86,  # prefix-filter join: slightly slower
+    #   at 500 docs (window sort overhead) but 2x faster at sf0.1 and
+    #   the asymptotic winner — candidate volume bounded by token
+    #   rarity, not minhash collision luck
     "emb_topk": 0.639,
     "evt_sessionize": 0.307,
     "trx_extract": 0.659,
