@@ -114,16 +114,22 @@ def path_pairs(triples: DataFrame, path: Path, srcs: DataFrame | None = None) ->
         cur = path_pairs(triples, path.steps[0], srcs)
         for step in path.steps[1:]:
             # intermediate nodes: only iri/bnode can take another step
-            mids = cur.filter(F.col("v_kind") != "literal").select(
-                F.col("v_value").alias("mid")
-            ).distinct()
-            nxt = path_pairs(triples, step, mids)
-            cur = (
-                cur.filter(F.col("v_kind") != "literal")
-                .select("src", F.col("v_value").alias("mid"))
-                .join(nxt.withColumnRenamed("src", "mid"), on="mid")
-                .select(*PAIR_COLS)
-            )
+            cur_mid = (cur.filter(F.col("v_kind") != "literal")
+                       .select("src", F.col("v_value").alias("mid")))
+            if step.kind in ("pred", "inverse") and step.iri is not None:
+                # simple step: the equi-join on mid IS the restriction —
+                # a mids-distinct + semi-join first would restrict the
+                # same relation twice (two extra shuffles per step,
+                # measured ~2x on the 3-step bench sequence)
+                nxt = path_pairs(triples, step, None)
+            else:
+                # complex step (closure/alternative): restrict its
+                # internal expansion to reachable seeds
+                mids = cur_mid.select(F.col("mid")).distinct()
+                nxt = path_pairs(triples, step, mids)
+            cur = (cur_mid
+                   .join(nxt.withColumnRenamed("src", "mid"), on="mid")
+                   .select(*PAIR_COLS))
         return cur.distinct()
     if path.kind == "alternative":
         parts = [path_pairs(triples, s, srcs) for s in path.steps]
@@ -153,13 +159,18 @@ def _closure_pairs(triples: DataFrame, step: Path, srcs: DataFrame,
     one = path_pairs(triples, step, srcs).distinct().localCheckpoint(eager=True)
     acc = one
     frontier = one
+    simple_step = step.kind in ("pred", "inverse") and step.iri is not None
     for _ in range(MAX_CLOSURE_ROUNDS):
-        mids = (frontier.filter(F.col("v_kind") != "literal")
-                .select(F.col("v_value").alias("mid")).distinct())
-        nxt = path_pairs(triples, step, mids)
+        frontier_mid = (frontier.filter(F.col("v_kind") != "literal")
+                        .select("src", F.col("v_value").alias("mid")))
+        if simple_step:
+            # the frontier equi-join restricts by itself (see sequence)
+            nxt = path_pairs(triples, step, None)
+        else:
+            mids = frontier_mid.select(F.col("mid")).distinct()
+            nxt = path_pairs(triples, step, mids)
         expanded = (
-            frontier.filter(F.col("v_kind") != "literal")
-            .select("src", F.col("v_value").alias("mid"))
+            frontier_mid
             .join(nxt.withColumnRenamed("src", "mid"), on="mid")
             .select(*PAIR_COLS)
             .distinct()
