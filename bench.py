@@ -441,17 +441,28 @@ def main() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
+    # pass 1 = the round-over-round comparable numbers (cold engine
+    # caches, KG materialization paid by the first kg_* query — same
+    # semantics as rounds 1-2). Pass 2 re-times each query warm; the
+    # per-query MIN is additionally reported (`queries_min2`): host
+    # throttle noise is strictly additive, so the minimum is the
+    # closest observation of steady-state latency (same principle as
+    # the scaling legs' min-composite estimator).
     per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        _force(fn(spark, SF_DIR))
-        dt = round(time.time() - t0, 3)
-        per_query[name] = dt
-        total += dt
+    min2: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            dt = round(time.time() - t0, 3)
+            if _pass == 0:
+                per_query[name] = dt
+            min2[name] = min(dt, min2.get(name, dt))
     out["queries"] = per_query
-    out["value"] = round(total, 3)
+    out["value"] = round(sum(per_query.values()), 3)
+    out["queries_min2"] = min2
+    out["value_min2"] = round(sum(min2.values()), 3)
     spark.stop()
 
     print(json.dumps(out))
