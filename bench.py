@@ -269,7 +269,10 @@ def _scaling_evidence() -> dict:
     # when no valid pair exists yet — evidence beats punctuality, so
     # the run may extend to `hard_cap` hunting for a clean window.
     budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "840"))
-    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "1400"))
+    # hard cap sized so worst case (dirty host, max pairs) keeps the
+    # WHOLE bench — input materialization + legs + 2-pass headline —
+    # under ~28 min, inside any plausible external timeout
+    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "1150"))
     # self-calibrating throttle threshold: baseline = min of 5 probes
     # BEFORE any Spark work heats the host; a leg probe above
     # 1.35×baseline (floor 0.09 s — fresh host ≈ 0.065 s) marks its
