@@ -390,6 +390,7 @@ def canonicalize_triples(triples: DataFrame,
     mentions = subj_m.unionByName(obj_m).distinct().persist()
     n_mentions = mentions.count()
 
+    small_pairs: list[tuple[str, str]] | None = None
     if n_mentions <= 100_000:
         # small-vocabulary fast path (bounded mention population): pull
         # the mention strings once and run the SAME blocking pipeline
@@ -400,9 +401,12 @@ def canonicalize_triples(triples: DataFrame,
         # each of which lands in Amdahl's serial term on a local run.
         rows = [r["mention"] for r in mentions.collect()]
         comp_rows = _driver_link(rows, threshold)
+        pairs_list = [(mention_prefix + n, entity_prefix + c)
+                      for n, c in comp_rows]
         mapping = spark.createDataFrame(
-            [(mention_prefix + n, entity_prefix + c) for n, c in comp_rows],
-            "mention_iri string, canonical_iri string")
+            pairs_list, "mention_iri string, canonical_iri string")
+        if len(pairs_list) <= 1000:
+            small_pairs = pairs_list
     else:
         n_parts = max(1, min(int(n_mentions / 100_000) + 1,
                              spark.sparkContext.defaultParallelism * 4))
@@ -417,6 +421,32 @@ def canonicalize_triples(triples: DataFrame,
             F.concat(F.lit(mention_prefix), F.col("node")).alias("mention_iri"),
             F.concat(F.lit(entity_prefix), F.col("comp")).alias("canonical_iri"),
         ).persist()
+
+    extra_cols = [c for c in triples.columns
+                  if c not in ("subj", "pred", "obj_kind", "obj_value",
+                               "obj_dt", "obj_lang")]
+    if small_pairs is not None:
+        # tiny vocabulary: rewrite via a LITERAL map expression — a
+        # pure projection, ZERO joins/stage barriers (each broadcast
+        # join was a per-leg serial cost on local runs and a whole
+        # exchange at scale). Non-mention IRIs miss the map and
+        # coalesce back to themselves, exactly like the left join.
+        kv: list = []
+        for k, v in small_pairs:
+            kv += [F.lit(k), F.lit(v)]
+        if not kv:
+            return triples, mapping
+        lookup = F.create_map(*kv)
+        out = triples.select(
+            F.coalesce(lookup[F.col("subj")], F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.col("obj_kind"),
+            F.when(F.col("obj_kind") == "iri",
+                   F.coalesce(lookup[F.col("obj_value")],
+                              F.col("obj_value")))
+            .otherwise(F.col("obj_value")).alias("obj_value"),
+            F.col("obj_dt"), F.col("obj_lang"), *extra_cols)
+        return out, mapping
 
     # no forced broadcast: the mapping is mention-sized (can be huge at
     # 100 TB); AQE broadcasts it automatically whenever it actually

@@ -43,7 +43,12 @@ def shacl_shacl_violations(spark=None) -> int:
     focus = target_focus(spark, schema, data)
     engine = ValidationEngine(spark, schema, data)
     res = engine.validate(focus)
-    return res.report.count()
+    n = res.report.count()
+    # long-lived callers (the driver gate runs this inside its own
+    # session): release the engine's persisted candidate/conformance
+    # blocks once the count is materialized
+    engine.unpersist_all()
+    return n
 
 
 if __name__ == "__main__":
