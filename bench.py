@@ -367,12 +367,18 @@ def _scaling_evidence() -> dict:
     else:
         # every pair individually invalid (host never read clean):
         # headline from the min-composite over all pairs — strictly
-        # more defensible than any single contaminated pair
-        best = dict(max(pairs, key=lambda p: p["efficiency"]))
-        best["sec_A"], best["sec_B"] = min_a, min_b
-        best["turns_per_sec_A"] = round(best["n_turns"] / min_a, 1)
-        best["turns_per_sec_B"] = round(best["n_turns"] / min_b, 1)
-        best["efficiency"] = round(min_comp, 3)
+        # more defensible than any single contaminated pair. Built
+        # fresh (no per-pair probe metadata copied over: the composed
+        # legs come from DIFFERENT pairs, whose own readings live in
+        # all_pairs).
+        n_turns = pairs[0]["n_turns"]
+        best = {
+            "n_turns": n_turns,
+            "sec_A": min_a, "sec_B": min_b,
+            "turns_per_sec_A": round(n_turns / min_a, 1),
+            "turns_per_sec_B": round(n_turns / min_b, 1),
+            "efficiency": round(min_comp, 3),
+        }
         estimator = ("min-composite over %d pairs (no probe-validated "
                      "pair; additive-noise minimum per leg width)"
                      % len(pairs))

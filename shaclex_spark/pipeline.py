@@ -248,8 +248,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         all_triples = spark.read.parquet(tri_path)
         if can_incr:
             def _nodes(df: DataFrame) -> DataFrame:
+                # subjects + NON-LITERAL objects: a bnode object's
+                # in-arc neighbourhood changes too (inverse paths are
+                # arc-local-allowed), so bnodes must re-validate
                 return (df.select(F.col("subj").alias("node"))
-                        .unionByName(df.filter(F.col("obj_kind") == "iri")
+                        .unionByName(df.filter(F.col("obj_kind") != "literal")
                                      .select(F.col("obj_value").alias("node"))))
 
             new_dirty = all_triples.filter(dirty_filter) \

@@ -192,13 +192,10 @@ WITH tk AS (
 SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.4
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-TRIGRAM shingle Jaccard ≥ 0.4: trigram sets are near-
-    disjoint for unrelated docs (so LSH blocking actually prunes),
-    while 1-gram vocabulary sets are degenerate on this corpus. The
-    oracle brute-forces all pairs (fine at oracle scale)."""
-    # r=1, 24 bands: candidate recall at J=0.4 is 1-(1-J)^24 ≈ 1-5e-6,
-    # so the LSH result matches the brute-force oracle; trigram
-    # disjointness keeps bucket sizes (and thus candidates) small.
+    """Word-TRIGRAM shingle Jaccard ≥ 0.4 — EXACT via the
+    prefix-filter join (AllPairs/PPJoin): candidate recall is 1.0 by
+    construction and candidate volume is bounded by token rarity, so
+    the result hash-matches the brute-force oracle at every scale."""
     from .functions.dedup import shingle_table
     from .queries import _LIVE_CACHES, _release_previous_caches
 
@@ -207,7 +204,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
     _LIVE_CACHES.append(sh)  # released by the next registry query
     return ngram_jaccard_pairs(docs, threshold=0.4, shingle_k=3,
-                               n_bands=24, rows_per_band=1, shingles=sh)
+                               shingles=sh)
 
 
 @query("data_curate", oracle=r"""
@@ -306,8 +303,9 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Theoretical recall at J = 0.9 with r=3, b=8 is
     1-(1-0.9³)⁸ ≈ 0.99997; the cap only drops degenerate boilerplate
     buckets, so `found` must hash-compare all-TRUE. The truth side is
-    derived by the r=1/24-band blocked-exact pipeline already proven
-    hash-exact against brute force (dedup_ngram_jaccard)."""
+    the prefix-filter exact-join pipeline (recall 1.0 by
+    construction), itself proven hash-exact against brute force by
+    dedup_ngram_jaccard."""
     from .functions.dedup import shingle_table
     from .linking import MAX_BUCKET_SIZE
     from .queries import _LIVE_CACHES, _release_previous_caches
@@ -317,7 +315,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
     _LIVE_CACHES.append(sh)
     truth = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3,
-                                n_bands=24, rows_per_band=1, shingles=sh)
+                                shingles=sh)
     cands = lsh_candidates(docs, "doc_id", "text", n_bands=8,
                            rows_per_band=3, shingle_k=3,
                            max_bucket_size=MAX_BUCKET_SIZE, shingles=sh)

@@ -444,6 +444,9 @@ class Shape:
             out |= ne.classes()
         for p in self.properties:
             out |= p.classes()
+        for group in self.one_of:
+            for p in group:
+                out |= p.classes()
         for blk in self.group_blocks:
             for p in blk.members:
                 out |= p.classes()

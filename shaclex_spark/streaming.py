@@ -87,7 +87,11 @@ def _process_batch(spark: SparkSession, output_dir: str):
                         F.count("*").alias("n_triples"),
                         F.expr("bit_xor(xxhash64(subj, pred, obj_value))")
                         .alias("fingerprint")))
-        lineage.write.mode("append").parquet(lin_path)
+        # lineage must replay idempotently too: partition by batch_id
+        # with dynamic overwrite, so a crash-replayed batch rewrites
+        # its own lineage row instead of appending a duplicate
+        lineage.write.mode("overwrite").partitionBy("batch_id") \
+            .parquet(lin_path)
         candidates.unpersist()
 
     return process
@@ -110,7 +114,15 @@ def run_streaming_pipeline(spark: SparkSession, input_dir: str,
                      os.path.join(output_dir, "_checkpoint"))
              .trigger(availableNow=True)
              .start())
-    query.awaitTermination(timeout_sec)
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        # never return partially-written tables as success: stop the
+        # stream (the checkpoint + idempotent partition overwrite make
+        # the next drain resume cleanly) and fail loudly
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_sec}s; stopped — "
+            "re-run to resume from the checkpoint")
     tri_path = os.path.join(output_dir, "triples")
     lin_path = os.path.join(output_dir, "stream_lineage")
     out: dict = {"triples": None, "lineage": None}

@@ -106,3 +106,19 @@ def test_arc_local_gate_rejects_ref_schemas():
         {"path": {"kind": "sequence", "steps": ["http://x/p", "http://x/q"]},
          "minCount": 1}]}]
     assert _arc_local_schema(with_seq) is False
+
+
+def test_arc_local_gate_sees_oneof_classes():
+    """Review finding: Shape.classes() skipped one_of members, so a
+    class constraint hidden in a OneOf group slipped past the
+    arc-local gate (class membership rides the global subClassOf*
+    closure — not arc-local)."""
+    from shaclex_spark.pipeline import _arc_local_schema
+
+    with_oneof_class = [{
+        "label": "A",
+        "targets": [{"kind": "targetSubjectsOf", "value": "http://x/p"}],
+        "oneOf": [[{"path": "http://x/p",
+                    "node": {"kind": "class", "iri": "http://x/C"}}]],
+    }]
+    assert _arc_local_schema(with_oneof_class) is False
