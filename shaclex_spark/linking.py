@@ -363,31 +363,39 @@ def _driver_link(mentions: list[str], threshold: float,
     return _driver_union_find(edges, mentions)
 
 
-def canonicalize_triples(triples: DataFrame,
-                         mention_prefix: str = MENTION_PREFIX,
-                         entity_prefix: str = ENTITY_PREFIX,
-                         threshold: float = JACCARD_THRESHOLD) -> tuple[DataFrame, DataFrame]:
-    """Rewrite mention IRIs in subj/obj to canonical entity IRIs.
-
-    Returns (canonical_triples, mapping) where mapping =
-    (mention_iri, canonical_iri). The mapping dimension is small
-    (distinct mentions ≪ triples) and is broadcast into the rewrite
-    joins — per north_star 'broadcast of the shape/schema dictionary'
-    applies equally here."""
+def extract_mentions(triples: DataFrame,
+                     mention_prefix: str = MENTION_PREFIX) -> DataFrame:
+    """Distinct mention strings (prefix stripped) in subj or iri-obj
+    position — the linking dimension. One scan + one distinct shuffle."""
     mlen = len(mention_prefix)
     subj_m = triples.filter(F.col("subj").startswith(mention_prefix)) \
         .select(F.col("subj").substr(F.lit(mlen + 1), F.lit(10_000)).alias("mention"))
     obj_m = triples.filter((F.col("obj_kind") == "iri")
                            & F.col("obj_value").startswith(mention_prefix)) \
         .select(F.col("obj_value").substr(F.lit(mlen + 1), F.lit(10_000)).alias("mention"))
+    return subj_m.unionByName(obj_m).distinct()
+
+
+def link_mentions(mentions: DataFrame,
+                  mention_prefix: str = MENTION_PREFIX,
+                  entity_prefix: str = ENTITY_PREFIX,
+                  threshold: float = JACCARD_THRESHOLD
+                  ) -> tuple[DataFrame, list | None]:
+    """Link a one-column (mention) relation into a canonical mapping
+    (mention_iri, canonical_iri). Returns (mapping, small_pairs) where
+    small_pairs is the driver-sized pair list when the vocabulary is
+    tiny (enables the literal-map rewrite in apply_mapping), else None.
+
+    Releases its own mention cache before returning (round-3 ADVICE:
+    persisted blocks must not accumulate across streaming batches)."""
     # distinct mentions are a dimension ≪ triples but NOT driver-sized
     # at 100 TB: size the path from the observed mention count. The
     # distinct shuffle (the real parallel work: one scan of the triple
     # candidates) happens either way; what differs is how many SERIAL
     # driver barriers follow it — on a local runner each Spark action
     # costs fixed latency that lands straight in Amdahl's serial term.
-    spark = triples.sparkSession
-    mentions = subj_m.unionByName(obj_m).distinct().persist()
+    spark = mentions.sparkSession
+    mentions = mentions.persist()
     n_mentions = mentions.count()
 
     small_pairs: list[tuple[str, str]] | None = None
@@ -400,6 +408,7 @@ def canonicalize_triples(triples: DataFrame,
         # geometry). One collect instead of ~7 eager Spark barriers,
         # each of which lands in Amdahl's serial term on a local run.
         rows = [r["mention"] for r in mentions.collect()]
+        mentions.unpersist()
         comp_rows = _driver_link(rows, threshold)
         pairs_list = [(mention_prefix + n, entity_prefix + c)
                       for n, c in comp_rows]
@@ -415,13 +424,24 @@ def canonicalize_triples(triples: DataFrame,
         pairs = candidate_pairs(big)
         edges = jaccard_verify(pairs, threshold)
         comps = connected_components(edges, big.select(F.col("mention")))
-        # lazy persist: the mapping is read twice by the rewrite joins;
-        # the cache prevents re-running CC.
+        # persist: the mapping is read twice by the rewrite joins; the
+        # cache prevents re-running CC. Materialize it NOW so the
+        # mention cache can be released (CC is already checkpointed;
+        # only the final label join still reads the mention relation).
         mapping = comps.select(
             F.concat(F.lit(mention_prefix), F.col("node")).alias("mention_iri"),
             F.concat(F.lit(entity_prefix), F.col("comp")).alias("canonical_iri"),
         ).persist()
+        mapping.count()
+        mentions.unpersist()
+    return mapping, small_pairs
 
+
+def apply_mapping(triples: DataFrame, mapping: DataFrame,
+                  small_pairs: list | None = None) -> DataFrame:
+    """Rewrite mention IRIs in subj/obj to their canonical entity IRIs
+    using a previously-computed mapping. Non-mention terms pass
+    through; extra (provenance) columns are preserved."""
     extra_cols = [c for c in triples.columns
                   if c not in ("subj", "pred", "obj_kind", "obj_value",
                                "obj_dt", "obj_lang")]
@@ -435,7 +455,7 @@ def canonicalize_triples(triples: DataFrame,
         for k, v in small_pairs:
             kv += [F.lit(k), F.lit(v)]
         if not kv:
-            return triples, mapping
+            return triples
         lookup = F.create_map(*kv)
         out = triples.select(
             F.coalesce(lookup[F.col("subj")], F.col("subj")).alias("subj"),
@@ -446,7 +466,7 @@ def canonicalize_triples(triples: DataFrame,
                               F.col("obj_value")))
             .otherwise(F.col("obj_value")).alias("obj_value"),
             F.col("obj_dt"), F.col("obj_lang"), *extra_cols)
-        return out, mapping
+        return out
 
     # no forced broadcast: the mapping is mention-sized (can be huge at
     # 100 TB); AQE broadcasts it automatically whenever it actually
@@ -466,7 +486,25 @@ def canonicalize_triples(triples: DataFrame,
                       F.coalesce(F.col("obj_canon"), F.col("obj_value")))
                 .otherwise(F.col("obj_value")).alias("obj_value"),
                F.col("obj_dt"), F.col("obj_lang"),
-               *[c for c in triples.columns
-                 if c not in ("subj", "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang")],
+               *extra_cols,
            ))
-    return out, mapping
+    return out
+
+
+def canonicalize_triples(triples: DataFrame,
+                         mention_prefix: str = MENTION_PREFIX,
+                         entity_prefix: str = ENTITY_PREFIX,
+                         threshold: float = JACCARD_THRESHOLD) -> tuple[DataFrame, DataFrame]:
+    """Rewrite mention IRIs in subj/obj to canonical entity IRIs.
+
+    Returns (canonical_triples, mapping) where mapping =
+    (mention_iri, canonical_iri). The mapping dimension is small
+    (distinct mentions ≪ triples) and is broadcast into the rewrite
+    joins — per north_star 'broadcast of the shape/schema dictionary'
+    applies equally here. Composition of extract_mentions →
+    link_mentions → apply_mapping (streaming reuses the pieces with an
+    ACCUMULATED mention relation for cross-batch consistency)."""
+    mentions = extract_mentions(triples, mention_prefix)
+    mapping, small_pairs = link_mentions(mentions, mention_prefix,
+                                         entity_prefix, threshold)
+    return apply_mapping(triples, mapping, small_pairs), mapping

@@ -2,8 +2,8 @@
 
 The production shape at 10^12-turn scale is INCREMENTAL: new
 transcript files land continuously; each micro-batch runs the same
-extract → link stages as the batch pipeline and appends to the
-bucketed triples table. Spark-first mapping:
+extract stage as the batch pipeline and appends to the bucketed
+triples table. Spark-first mapping:
 
 - `readStream` over the transcript directory (file source: the
   checkpoint's file log gives at-least-once batch delivery and skips
@@ -18,17 +18,32 @@ bucketed triples table. Spark-first mapping:
   stops — the "incremental batch" mode a scheduled 100-TB ingest job
   runs in (continuous triggers work unchanged);
 - per-batch lineage rows (batch_id, n_turns, n_triples, fingerprint)
-  append to a lineage log — the streaming analogue of
+  land partitioned by batch_id — the streaming analogue of
   pipeline.lineage_metrics (north_rule: per-partition lineage +
   metrics for idempotent checkpoint resume);
 - a watermarked tumbling-window aggregation (turn_rate) demonstrates
   late-data handling for monitoring streams.
 
+Entity linking is LATE-BOUND (round-3 ADVICE fix): per-batch
+canonicalization was batch-scoped — the same entity mentioned in two
+micro-batches got two canonical IRIs, silently diverging from a batch
+run. Instead each batch lands triples in MENTION form plus its mention
+strings as a per-batch dimension delta; `read_canonical_triples`
+re-links the ACCUMULATED mention dimension (a set ≪ triples) and
+applies the global mapping at read time. Canonical output at any read
+instant therefore equals the batch pipeline over all landed input —
+including clusters merged by a bridge mention that arrived batches
+later (a fact no canonicalize-at-write scheme can retrofit without
+rewriting history). Linking cost per drain is O(mentions), not
+O(triples); at 10^12-turn scale the mapping join is the same
+AQE-broadcast rewrite the batch path uses.
+
 Reference mapping: the reference CLI is strictly batch
 (Main.scala:256-261 parses one file); this module is the
 Spark-native extension of SURVEY.md §3.1's lifecycle to continuous
-ingestion. Validation stays whole-graph (or arc-local incremental via
-pipeline.validate_kg(focus_filter=...)) over the accumulated table.
+ingestion. Validation runs whole-graph over the canonical view, or
+incrementally via pipeline.validate_streaming_incremental (only nodes
+touched by new batches / re-linked mentions re-validate).
 """
 
 from __future__ import annotations
@@ -38,7 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .extraction import extract_triples
-from .linking import canonicalize_triples
+from .linking import apply_mapping, extract_mentions, link_mentions
 from .pipeline import bucket_col
 
 TRANSCRIPTS_SCHEMA = T.StructType([
@@ -63,17 +78,17 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
 
 
 def _process_batch(spark: SparkSession, output_dir: str):
-    """foreachBatch body: extract + link one micro-batch, land triples
-    idempotently, append lineage."""
-    tri_path = os.path.join(output_dir, "triples")
+    """foreachBatch body: extract one micro-batch, land mention-form
+    triples + the batch's mention delta idempotently, append lineage."""
+    raw_path = os.path.join(output_dir, "triples_raw")
+    men_path = os.path.join(output_dir, "mentions")
     lin_path = os.path.join(output_dir, "stream_lineage")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         candidates = extract_triples(batch).persist()
-        canonical, _ = canonicalize_triples(candidates)
-        out = (canonical
+        out = (candidates
                .withColumn("bucket", bucket_col())
                .withColumn("batch_id", F.lit(batch_id)))
         # idempotent replay: dynamic overwrite scoped to THIS batch's
@@ -81,15 +96,24 @@ def _process_batch(spark: SparkSession, output_dir: str):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        "dynamic")
         out.write.mode("overwrite").partitionBy("batch_id", "bucket") \
-            .parquet(tri_path)
+            .parquet(raw_path)
+        # mention dimension delta, same idempotent layout (read side
+        # distincts across batches; at scale a left_anti against the
+        # accumulated dimension would shrink re-landed duplicates, but
+        # the dimension is ≪ triples either way)
+        mentions = (extract_mentions(candidates)
+                    .withColumn("batch_id", F.lit(batch_id)))
+        mentions.write.mode("overwrite").partitionBy("batch_id") \
+            .parquet(men_path)
+        # lineage over the landed (mention-form) rows; must replay
+        # idempotently too: partition by batch_id with dynamic
+        # overwrite, so a crash-replayed batch rewrites its own
+        # lineage row instead of appending a duplicate
         lineage = (out.groupBy("batch_id")
                    .agg(F.countDistinct("conv_id").alias("n_convs"),
                         F.count("*").alias("n_triples"),
                         F.expr("bit_xor(xxhash64(subj, pred, obj_value))")
                         .alias("fingerprint")))
-        # lineage must replay idempotently too: partition by batch_id
-        # with dynamic overwrite, so a crash-replayed batch rewrites
-        # its own lineage row instead of appending a duplicate
         lineage.write.mode("overwrite").partitionBy("batch_id") \
             .parquet(lin_path)
         candidates.unpersist()
@@ -97,15 +121,35 @@ def _process_batch(spark: SparkSession, output_dir: str):
     return process
 
 
+def read_canonical_triples(spark: SparkSession, output_dir: str
+                           ) -> tuple[DataFrame | None, DataFrame | None]:
+    """Canonical view over everything landed so far: re-link the
+    accumulated mention dimension globally, rewrite the raw triples.
+    Returns (canonical_triples, mapping) — equal to the batch pipeline
+    over the union of all drained input."""
+    raw_path = os.path.join(output_dir, "triples_raw")
+    men_path = os.path.join(output_dir, "mentions")
+    try:
+        raw = spark.read.parquet(raw_path)
+        mentions = spark.read.parquet(men_path)
+    except Exception:
+        return None, None  # zero input files: nothing landed
+    mapping, small_pairs = link_mentions(
+        mentions.select("mention").distinct())
+    return apply_mapping(raw, mapping, small_pairs), mapping
+
+
 def run_streaming_pipeline(spark: SparkSession, input_dir: str,
                            output_dir: str,
                            max_files_per_trigger: int | None = None,
                            timeout_sec: float = 300.0) -> dict:
-    """Drain all available transcript files through extract → link and
-    land bucketed triples + per-batch lineage. Restart-safe: the
+    """Drain all available transcript files through extraction, land
+    bucketed mention-form triples + mention deltas + per-batch lineage,
+    and return the globally-linked canonical view. Restart-safe: the
     checkpoint under ``output_dir`` skips already-processed files and
     replayed batches overwrite their own partitions. Returns
-    {"triples": DataFrame, "lineage": DataFrame}."""
+    {"triples": canonical DataFrame, "raw": DataFrame,
+    "mapping": DataFrame, "lineage": DataFrame}."""
     transcripts = stream_transcripts(spark, input_dir,
                                      max_files_per_trigger)
     query = (transcripts.writeStream
@@ -123,14 +167,16 @@ def run_streaming_pipeline(spark: SparkSession, input_dir: str,
         raise TimeoutError(
             f"streaming drain exceeded {timeout_sec}s; stopped — "
             "re-run to resume from the checkpoint")
-    tri_path = os.path.join(output_dir, "triples")
-    lin_path = os.path.join(output_dir, "stream_lineage")
-    out: dict = {"triples": None, "lineage": None}
-    try:
-        out["triples"] = spark.read.parquet(tri_path)
-        out["lineage"] = spark.read.parquet(lin_path)
-    except Exception:
-        pass  # zero input files: nothing landed
+    out: dict = {"triples": None, "raw": None, "mapping": None,
+                 "lineage": None}
+    canonical, mapping = read_canonical_triples(spark, output_dir)
+    if canonical is not None:
+        out["triples"] = canonical
+        out["mapping"] = mapping
+        out["raw"] = spark.read.parquet(
+            os.path.join(output_dir, "triples_raw"))
+        out["lineage"] = spark.read.parquet(
+            os.path.join(output_dir, "stream_lineage"))
     return out
 
 

@@ -78,6 +78,58 @@ def test_streaming_output_validates_like_batch(spark, dirs):
     assert res.conformance.count() > 0
 
 
+def _mini_transcripts(spark, conv_id, texts, path):
+    import datetime
+    rows = [(conv_id, i, "user" if i % 2 == 0 else "assistant", t, "",
+             datetime.datetime(2025, 1, 1, 0, i)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_cross_batch_entity_linking(spark, dirs):
+    """Round-3 ADVICE: per-batch canonicalization was batch-scoped —
+    'Alice Moore' in batch 1 and 'alice moore' in batch 2 got two
+    canonical IRIs. Late-bound linking must unify them and match the
+    batch pipeline over the union exactly."""
+    from shaclex_spark.pipeline import build_kg
+    from shaclex_spark.streaming import run_streaming_pipeline
+
+    in_dir, out_dir = dirs
+    # two DRAINS → two micro-batches; the only link evidence spans them
+    _mini_transcripts(spark, "c1", ["Alice Moore knows Bob Stone."], in_dir)
+    run_streaming_pipeline(spark, in_dir, out_dir)
+    _mini_transcripts(spark, "c2", ["alice moore knows Carol Reyes."], in_dir)
+    out = run_streaming_pipeline(spark, in_dir, out_dir)
+
+    got = {tuple(r) for r in out["triples"]
+           .select("subj", "pred", "obj_kind", "obj_value").collect()}
+    ref_triples, _ = build_kg(spark, spark.read.parquet(in_dir))
+    ref = {tuple(r) for r in ref_triples
+           .select("subj", "pred", "obj_kind", "obj_value").collect()}
+    assert got == ref and len(got) > 0
+    # the two knows-subjects crossed batches yet share ONE canonical IRI
+    subs = {r.subj for r in out["triples"]
+            .filter("pred like '%knows'").collect()}
+    assert len(subs) == 1, subs
+
+
+def test_streaming_no_leaked_cached_blocks(spark, dirs):
+    """Round-3 ADVICE: foreachBatch must not accumulate persisted
+    DataFrames across micro-batches."""
+    from shaclex_spark.streaming import run_streaming_pipeline
+
+    in_dir, out_dir = dirs
+    _land(spark, 10, 7, in_dir)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    run_streaming_pipeline(spark, in_dir, out_dir)
+    _land(spark, 10, 8, in_dir)
+    run_streaming_pipeline(spark, in_dir, out_dir)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
+
+
 def test_turn_rate_watermarked_aggregation(spark, dirs):
     from shaclex_spark.streaming import stream_transcripts, turn_rate
 
