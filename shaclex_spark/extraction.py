@@ -25,6 +25,7 @@ from .model import TRIPLES_PROV_SCHEMA, XSD_INTEGER, XSD_STRING
 
 EX = "http://example.org/"
 FOAF_KNOWS = "http://xmlns.com/foaf/0.1/knows"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 MENTION = EX + "mention/"
 
 # (pattern, pred, obj handling, literal keyword)
@@ -50,6 +51,10 @@ RULES: list[tuple[str, str, str, str]] = [
      " works at "),
     (r"^(?P<s>Customer#\d+) placed order (?P<o>\d+)\.$", EX + "placed",
      "order", " placed order "),
+    # class-membership assertions → rdf:type arcs (feeds sh:class /
+    # targetClass validation and the class-aware incremental resume)
+    (rf"^(?P<s>{NAME}) is a (?P<o>[A-Z][A-Za-z]*)\.$", RDF_TYPE, "class",
+     " is a "),
 ]
 _COMPILED = [(re.compile(p), pred, objmode, kw)
              for p, pred, objmode, kw in RULES]
@@ -93,6 +98,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         elif objmode == "org":
             sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
                 "iri", EX + "org/" + o, None
+        elif objmode == "class":
+            sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
+                "iri", EX + "class/" + o, None
         elif objmode == "mention":
             sub["obj_kind"], sub["obj_value"], sub["obj_dt"] = \
                 "iri", MENTION + slug(o), None

@@ -92,25 +92,31 @@ def validate_kg(spark: SparkSession, triples: DataFrame,
     return engine.validate(focus)
 
 
-def _arc_local_schema(shapes_json: list[dict] | None) -> bool:
-    """True when a node's conformance depends ONLY on its own incident
-    arcs (out- and in-arcs) and the terms at their ends — the soundness
-    condition for incremental re-validation: a node none of whose
-    incident arcs changed keeps its previous verdict.
+def _arc_local_schema(shapes_json: list[dict] | None) -> str | bool:
+    """Incremental-revalidation mode for a schema:
 
-    Excluded (fall back to whole-graph validation): shape refs (a
-    clean node may reference a dirty VALUE whose conformance flipped),
-    class constraints / targetClass (membership rides the global
-    rdfs:subClassOf* closure), and multi-step paths
-    (sequence/alternative/closure traverse OTHER nodes' arcs)."""
+    "arc"   — a node's conformance depends ONLY on its own incident
+              arcs (out- and in-arcs) and the terms at their ends; a
+              node none of whose incident arcs changed keeps its
+              previous verdict.
+    "class" — as above PLUS class constraints / targetClass: a node's
+              verdict additionally depends on its NEIGHBOURS' rdf:type
+              arcs (class membership of value nodes) — sound
+              incrementally if the affected set also includes all
+              neighbours of dirty-type-arc subjects, and the dirty
+              delta touches no rdfs:subClassOf arc (checked at run
+              time; the subclass closure is global).
+    False   — fall back to whole-graph validation: shape refs (a clean
+              node may reference a dirty VALUE whose conformance
+              flipped) or multi-step paths (sequence/alternative/
+              closure traverse OTHER nodes' arcs)."""
     schema = SchemaDict.from_json(shapes_json or DEFAULT_SHAPES)
     if schema.dep_edges():
         return False
+    mode = "arc"
     for sh in schema.shapes.values():
-        if sh.classes():
-            return False
-        if any(t.kind == "targetClass" for t in sh.targets):
-            return False
+        if sh.classes() or any(t.kind == "targetClass" for t in sh.targets):
+            mode = "class"
         all_props = (list(sh.properties)
                      + [p for g in sh.one_of for p in g]
                      + [m for b in sh.group_blocks for m in b.members]
@@ -119,7 +125,7 @@ def _arc_local_schema(shapes_json: list[dict] | None) -> bool:
         for pc in all_props:
             if pc.path.kind not in ("pred", "inverse"):
                 return False
-    return True
+    return mode
 
 
 N_BUCKETS = 64
@@ -221,8 +227,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         # validation (cross-bucket dependencies make per-node reuse
         # unsound).
         tri_path = os.path.join(output_dir, "triples")
-        can_incr = (resume and dirty_list is not None
-                    and _arc_local_schema(shapes_json))
+        incr_mode = (_arc_local_schema(shapes_json)
+                     if resume and dirty_list is not None else False)
+        can_incr = bool(incr_mode)
         old_dirty = prior_conf = prior_report = None
         dirty_filter = (F.col("bucket").isin(dirty_list) if dirty_list
                         else F.lit(False))
@@ -232,7 +239,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                 # would otherwise read the rewritten files)
                 old_dirty = (spark.read.parquet(tri_path)
                              .filter(dirty_filter)
-                             .select("subj", "obj_kind", "obj_value")
+                             .select("subj", "pred", "obj_kind",
+                                     "obj_value")
                              .localCheckpoint(eager=True))
                 prior_conf = spark.read.parquet(
                     os.path.join(output_dir, "conformance")) \
@@ -247,18 +255,57 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             .parquet(tri_path)
         all_triples = spark.read.parquet(tri_path)
         if can_incr:
-            def _nodes(df: DataFrame) -> DataFrame:
-                # subjects + NON-LITERAL objects: a bnode object's
-                # in-arc neighbourhood changes too (inverse paths are
-                # arc-local-allowed), so bnodes must re-validate
-                return (df.select(F.col("subj").alias("node"))
-                        .unionByName(df.filter(F.col("obj_kind") != "literal")
-                                     .select(F.col("obj_value").alias("node"))))
-
             new_dirty = all_triples.filter(dirty_filter) \
-                .select("subj", "obj_kind", "obj_value")
-            affected = (_nodes(old_dirty).unionByName(_nodes(new_dirty))
-                        .distinct().localCheckpoint(eager=True))
+                .select("subj", "pred", "obj_kind", "obj_value")
+            dirty_all = old_dirty.unionByName(new_dirty)
+            if incr_mode == "class":
+                # the subclass closure is GLOBAL: a dirty subClassOf
+                # arc can flip membership of nodes in clean buckets →
+                # whole-graph re-validation (rare: ontology edits)
+                from .model import RDFS
+                if dirty_all.filter(
+                        F.col("pred") == RDFS + "subClassOf") \
+                        .limit(1).count() > 0:
+                    can_incr = False
+
+        if can_incr:
+            def _nodes(df: DataFrame) -> DataFrame:
+                # subjects + ALL object terms: an iri/bnode object's
+                # in-arc neighbourhood changes too (inverse paths are
+                # arc-local-allowed), and a LITERAL object can itself
+                # be a focus term under targetObjectsOf (round-3
+                # ADVICE soundness fix: a literal focus created or
+                # removed by a dirty bucket must (re)validate / drop
+                # its stale row). Non-focus literals only add cheap
+                # candidates that the focus semi-join discards.
+                return (df.select(F.col("subj").alias("node"))
+                        .unionByName(
+                            df.select(F.col("obj_value").alias("node"))))
+
+            affected = _nodes(dirty_all).distinct()
+            if incr_mode == "class":
+                # class constraints read the VALUE node's rdf:type
+                # arcs: a dirty type-arc on node t affects every node
+                # adjacent to t (out-path values t, inverse-path
+                # values t). Two semi-joins against the full table —
+                # cost ∝ dirty fraction, not graph size.
+                from .queries import RDF_TYPE
+                t_subj = (dirty_all.filter(F.col("pred") == RDF_TYPE)
+                          .select(F.col("subj").alias("node")).distinct())
+                in_nb = (all_triples
+                         .join(t_subj.select(F.col("node")
+                                             .alias("obj_value")),
+                               on="obj_value", how="left_semi")
+                         .select(F.col("subj").alias("node")))
+                out_nb = (all_triples
+                          .join(t_subj.select(F.col("node")
+                                              .alias("subj")),
+                                on="subj", how="left_semi")
+                          .select(F.col("obj_value").alias("node")))
+                affected = (affected.unionByName(t_subj)
+                            .unionByName(in_nb).unionByName(out_nb)
+                            .distinct())
+            affected = affected.localCheckpoint(eager=True)
             n_affected = affected.count()
             result = validate_kg(spark, all_triples, shapes_json,
                                  focus_filter=affected)

@@ -91,17 +91,19 @@ def test_incremental_matches_full_revalidation(spark):
 def test_arc_local_gate_rejects_ref_schemas():
     from shaclex_spark.pipeline import DEFAULT_SHAPES, _arc_local_schema
 
-    assert _arc_local_schema(DEFAULT_SHAPES) is True
-    assert _arc_local_schema(None) is True
+    assert _arc_local_schema(DEFAULT_SHAPES) == "arc"
+    assert _arc_local_schema(None) == "arc"
     with_ref = [
         {"label": "A", "constraints": [
             {"path": "http://x/p", "node": {"kind": "ref", "label": "B"}}]},
         {"label": "B", "constraints": [{"path": "http://x/q", "minCount": 1}]},
     ]
     assert _arc_local_schema(with_ref) is False
+    # class constraints: incremental via neighbour expansion ("class"
+    # mode, round-4), no longer a whole-graph fallback
     with_class = [{"label": "A", "constraints": [
         {"path": "http://x/p", "node": {"kind": "class", "iri": "http://x/C"}}]}]
-    assert _arc_local_schema(with_class) is False
+    assert _arc_local_schema(with_class) == "class"
     with_seq = [{"label": "A", "constraints": [
         {"path": {"kind": "sequence", "steps": ["http://x/p", "http://x/q"]},
          "minCount": 1}]}]
@@ -111,8 +113,8 @@ def test_arc_local_gate_rejects_ref_schemas():
 def test_arc_local_gate_sees_oneof_classes():
     """Review finding: Shape.classes() skipped one_of members, so a
     class constraint hidden in a OneOf group slipped past the
-    arc-local gate (class membership rides the global subClassOf*
-    closure — not arc-local)."""
+    arc-local gate (class membership needs the neighbour-expanded
+    "class" mode, not plain "arc")."""
     from shaclex_spark.pipeline import _arc_local_schema
 
     with_oneof_class = [{
@@ -121,4 +123,116 @@ def test_arc_local_gate_sees_oneof_classes():
         "oneOf": [[{"path": "http://x/p",
                     "node": {"kind": "class", "iri": "http://x/C"}}]],
     }]
-    assert _arc_local_schema(with_oneof_class) is False
+    assert _arc_local_schema(with_oneof_class) == "class"
+
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+CLASS_SHAPES = [{
+    "label": "KnowsProfessorShape",
+    "targets": [{"kind": "targetSubjectsOf",
+                 "value": "http://xmlns.com/foaf/0.1/knows"}],
+    "constraints": [
+        {"path": "http://xmlns.com/foaf/0.1/knows",
+         "node": {"kind": "class", "iri": EX + "class/Professor"}},
+    ],
+}]
+
+
+def _mk_transcripts(spark, conv_texts: dict):
+    import datetime
+    rows = []
+    for cid, texts in conv_texts.items():
+        for i, t in enumerate(texts):
+            rows.append((cid, i, "user", t, "",
+                         datetime.datetime(2025, 1, 1, 0, i)))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+
+def test_class_schema_resume_incremental_and_sound(spark):
+    """Round-3 judge task 6: a class-constraint schema takes the
+    incremental path ("class" mode), and a dirty rdf:type arc in ONE
+    bucket correctly re-validates the clean-bucket node that points at
+    the re-typed value. Result must equal full re-validation."""
+    from shaclex_spark.pipeline import run_pipeline, validate_kg
+
+    # two conversations that hash to DIFFERENT buckets; the knows-arc
+    # lives in convB (clean on resume), the type arc in convA (dirty)
+    base = {
+        "convA": ["Zara Quill is a Professor."],
+        "convB": ["Bob Stone knows Zara Quill."],
+    }
+    with tempfile.TemporaryDirectory() as out_dir:
+        first = run_pipeline(spark, _mk_transcripts(spark, base),
+                             output_dir=out_dir, shapes_json=CLASS_SHAPES)
+        conf1 = {(r.node, r.shape): r.conforms for r in
+                 spark.read.parquet(f"{out_dir}/conformance").collect()}
+        # bob conforms: his knows-value is typed Professor
+        assert all(v for v in conf1.values()) and len(conf1) == 1
+
+        # retype Zara in her own (dirty) bucket; Bob's bucket is clean
+        changed = dict(base, convA=["Zara Quill is a Student."])
+        out = run_pipeline(spark, _mk_transcripts(spark, changed),
+                           output_dir=out_dir, shapes_json=CLASS_SHAPES,
+                           resume=True)
+        assert out["n_buckets_skipped"] >= 1  # convB's bucket stayed clean
+        assert out["n_affected_nodes"] is not None  # incremental path ran
+        incr = {(r.node, r.shape): r.conforms for r in
+                spark.read.parquet(f"{out_dir}/conformance").collect()}
+        full = validate_kg(spark, spark.read.parquet(f"{out_dir}/triples"),
+                           shapes_json=CLASS_SHAPES)
+        ref = {(r.node, r.shape): r.conforms
+               for r in full.conformance.collect()}
+        assert incr == ref
+        # the verdict actually flipped (Bob now non-conforming): the
+        # clean-bucket node was re-validated, not carried over stale
+        assert set(incr) == set(conf1)
+        assert not all(v for v in incr.values())
+
+
+LIT_SHAPES = [{
+    # literal focus nodes: every object of ex:age (an integer literal)
+    # is itself a focus term — exercises the round-3 ADVICE fix (dirty
+    # literal objects must enter the affected set)
+    "label": "AgeLiteralShape",
+    "targets": [{"kind": "targetObjectsOf", "value": EX + "age"}],
+    "constraints": [],
+}]
+
+
+def test_literal_focus_resume_sound(spark):
+    """Round-3 ADVICE: targetObjectsOf can select LITERAL focus terms.
+    A dirty bucket that adds/removes a literal age must add/drop that
+    focus row on resume — previously _nodes() skipped literal objects
+    and the merge silently diverged from full re-validation."""
+    from shaclex_spark.pipeline import _arc_local_schema, run_pipeline, \
+        validate_kg
+
+    assert _arc_local_schema(LIT_SHAPES) == "arc"
+    base = {
+        "convA": ["Zara Quill is 44 years old."],
+        "convB": ["Bob Stone is 31 years old."],
+    }
+    with tempfile.TemporaryDirectory() as out_dir:
+        run_pipeline(spark, _mk_transcripts(spark, base),
+                     output_dir=out_dir, shapes_json=LIT_SHAPES)
+        conf1 = {r.node for r in
+                 spark.read.parquet(f"{out_dir}/conformance").collect()}
+        assert conf1 == {"44", "31"}
+        # change convA's literal 44 → 45; convB clean
+        changed = dict(base, convA=["Zara Quill is 45 years old."])
+        out = run_pipeline(spark, _mk_transcripts(spark, changed),
+                           output_dir=out_dir, shapes_json=LIT_SHAPES,
+                           resume=True)
+        assert out["n_affected_nodes"] is not None
+        incr = {(r.node, r.shape): r.conforms for r in
+                spark.read.parquet(f"{out_dir}/conformance").collect()}
+        full = validate_kg(spark, spark.read.parquet(f"{out_dir}/triples"),
+                           shapes_json=LIT_SHAPES)
+        ref = {(r.node, r.shape): r.conforms
+               for r in full.conformance.collect()}
+        assert incr == ref
+        assert {n for n, _ in incr} == {"45", "31"}  # stale "44" dropped
