@@ -207,12 +207,18 @@ def _skip_strategy_conflicts(entries: list[Entry]) -> None:
 _schema_cache: dict[str, tuple] = {}
 
 
-def load_schema(path: str):
-    """(SchemaDict, start_label) — prefer the ShExJ .json AST, fall
-    back to the ShExC parser in SPEC mode (shapes open by default).
+def load_schema(path: str, prefer: str | None = None):
+    """(SchemaDict, start_label). Two concrete syntaxes, one
+    downstream semantics: ShExJ loads directly; ShExC parses via the
+    full shexc2j translator and flows through the SAME parse_shexj
+    conversion. ``prefer`` (or env SHACLEX_SHEX_SOURCE) picks which
+    syntax wins when both a .shex and its .json twin exist — the
+    suite runs both ways and must produce identical scorecards.
     Raises on parse failure / unsupported feature."""
-    if path in _schema_cache:
-        res = _schema_cache[path]
+    prefer = prefer or os.environ.get("SHACLEX_SHEX_SOURCE", "shexj")
+    key = (path, prefer)
+    if key in _schema_cache:
+        res = _schema_cache[key]
         if isinstance(res, Exception):
             raise res
         return res
@@ -220,22 +226,21 @@ def load_schema(path: str):
 
     jpath = re.sub(r"\.shex$", ".json", path)
     try:
-        if os.path.exists(jpath):
+        if os.path.exists(jpath) and not (
+                prefer == "shexc" and path.endswith(".shex")
+                and os.path.exists(path)):
             with open(jpath, encoding="utf-8") as fh:
                 out = parse_shexj(fh.read(),
                                   base_dir=os.path.dirname(jpath))
         else:
-            from .shexc import parse_shexc
-            schema, _pfx = parse_shexc(open(path, encoding="utf-8").read())
-            # spec semantics: ShEx shapes are OPEN over unmentioned
-            # predicates; the shexc parser's SLang mode closes them.
-            for sh in schema.shapes.values():
-                sh.closed = False
-            out = (schema, None)
+            from .shexc2j import shexc_to_shexj
+            with open(path, encoding="utf-8") as fh:
+                j = shexc_to_shexj(fh.read())
+            out = parse_shexj(j, base_dir=os.path.dirname(path))
     except Exception as e:  # cache the failure too (schemas are shared)
-        _schema_cache[path] = e
+        _schema_cache[key] = e
         raise
-    _schema_cache[path] = out
+    _schema_cache[key] = out
     return out
 
 

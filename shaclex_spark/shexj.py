@@ -65,14 +65,91 @@ def _merge_imports(j: dict, base_dir: str | None,
         if name in seen:
             continue
         seen.add(name)
-        path = os.path.join(base_dir, name + ".json")
-        if not os.path.exists(path):
+        jpath = os.path.join(base_dir, name + ".json")
+        cpath = os.path.join(base_dir, name + ".shex")
+        if os.path.exists(jpath):
+            with open(jpath, encoding="utf-8") as fh:
+                sub = json.load(fh)
+        elif os.path.exists(cpath):  # bare-ShExC schema directory
+            from .shexc2j import shexc_to_shexj
+            with open(cpath, encoding="utf-8") as fh:
+                sub = shexc_to_shexj(fh.read())
+        else:
             raise UnsupportedShExJ("imports")
-        with open(path, encoding="utf-8") as fh:
-            sub = json.load(fh)
         shapes.extend(_merge_imports(sub, base_dir, seen))
     shapes.extend(j.get("shapes", []))
     return shapes
+
+
+def _resolve_extends(all_shapes: list[dict]) -> list[dict]:
+    """ShEx 2.1 EXTENDS (reference fixture
+    shexLocal/inheritance/simple1.shex: `:A extends :B { … }`): a node
+    conforms to the extending shape iff its neighbourhood satisfies the
+    parents' triple expressions AND its own — triple expressions
+    combine as EachOf (each arc set partitioned between parent and
+    child), non-Shape parents (node constraints, ANDs…) conjoin as
+    plain shapeExprs. Rewrites every Shape carrying an "extends" key
+    into the merged form; cycles are a structure error."""
+    by_id = {s["id"]: s for s in all_shapes if "id" in s}
+
+    def parent_parts(label: str, stack: tuple) -> tuple[list, list, list]:
+        """(each_of_exprs, extra, conjuncts) contributed by parent."""
+        if label in stack:
+            raise ValueError(f"extends cycle through {label}")
+        decl = by_id.get(label)
+        if decl is None:
+            raise UnsupportedShExJ("extends-unknown-parent")
+        body = {k: v for k, v in decl.items() if k not in ("id", "abstract")}
+        if body.get("type") == "Shape":
+            exprs, extra = [], list(body.get("extra", []) or [])
+            for p in body.get("extends", []) or []:
+                pe, px, pc = parent_parts(p, stack + (label,))
+                exprs.extend(pe)
+                extra.extend(px)
+                if pc:
+                    raise UnsupportedShExJ("extends-non-shape-grandparent")
+            if "expression" in body:
+                # rewrite: the parent body may itself nest extends
+                exprs.append(rewrite(body["expression"]))
+            return exprs, extra, []
+        # NodeConstraint / ShapeAnd / … parent: conjoin by reference
+        return [], [], [label]
+
+    def rewrite(o: Any) -> Any:
+        if isinstance(o, list):
+            return [rewrite(x) for x in o]
+        if not isinstance(o, dict):
+            return o
+        o = {k: rewrite(v) for k, v in o.items()}
+        if o.get("type") == "Shape" and o.get("extends"):
+            exprs: list = []
+            extra = list(o.get("extra", []) or [])
+            conjuncts: list = []
+            for p in o["extends"]:
+                pe, px, pc = parent_parts(p, (o.get("id"),))
+                exprs.extend(pe)
+                extra.extend(px)
+                conjuncts.extend(pc)
+            if "expression" in o:
+                exprs.append(o["expression"])
+            merged = {k: v for k, v in o.items()
+                      if k not in ("extends", "expression", "extra", "id")}
+            if len(exprs) == 1:
+                merged["expression"] = exprs[0]
+            elif exprs:
+                merged["expression"] = {"type": "EachOf",
+                                        "expressions": exprs}
+            if extra:
+                merged["extra"] = sorted(set(extra))
+            if conjuncts:
+                merged = {"type": "ShapeAnd",
+                          "shapeExprs": list(conjuncts) + [merged]}
+            if "id" in o:
+                merged = {"id": o["id"], **merged}
+            return merged
+        return o
+
+    return [rewrite(s) for s in all_shapes]
 
 
 def _index_triple_exprs(shapes: list[dict]) -> dict[str, dict]:
@@ -117,6 +194,7 @@ class _Conv:
                 if act.get("code") is not None:
                     raise UnsupportedShExJ("startActs")
         all_shapes = _merge_imports(j, base_dir, set())
+        all_shapes = _resolve_extends(all_shapes)
         self.te_index = _index_triple_exprs(all_shapes)
         for sh in all_shapes:
             self.labels_declared.add(sh["id"])

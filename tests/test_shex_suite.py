@@ -71,3 +71,22 @@ def test_full_suite_zero_wrong():
     worker_fail = [o.name for o in outs
                    if o.skip and o.skip.startswith(("worker-", "engine-"))]
     assert not worker_fail, worker_fail[:20]
+
+
+def test_full_suite_shexc_native_identical(monkeypatch):
+    """Round-4 gate: the same suite run a SECOND way — every schema
+    force-loaded from its bare `.shex` source through the full ShExC
+    parser (shexc2j → parse_shexj) instead of the `.json` twin — must
+    produce the identical scorecard: two concrete syntaxes, one
+    semantics (reference parity: ShExSchema.scala:29-41)."""
+    monkeypatch.setenv("SHACLEX_SHEX_SOURCE", "shexc")
+    outs = run_suite_mp(nproc=10)
+    sc = scorecard(outs)
+    wrong = [o.name for o in outs if o.status == "wrong"]
+    errors = [(o.name, o.skip) for o in outs if o.status == "error"]
+    assert sc["attempted"] >= ATTEMPTED_FLOOR, sc
+    assert not wrong, f"wrong verdicts via shexc: {wrong[:20]}"
+    assert not errors, f"engine errors via shexc: {errors[:20]}"
+    worker_fail = [o.name for o in outs
+                   if o.skip and o.skip.startswith(("worker-", "engine-"))]
+    assert not worker_fail, worker_fail[:20]
