@@ -165,3 +165,86 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return (grams.withColumn("fp", F.min("h").over(win))
             .filter(F.col("pos") <= F.col("max_start"))
             .select("doc_id", "fp").distinct())
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 20, max_words: int = 100000,
+                   ) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    adapted to the corpus scale): per-rule booleans + the fused keep
+    flag, all as codegen'd expressions over ONE scan — the shape a
+    100-TB filter pass needs (no shuffle at all).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; >= 70% of words contain an alphabetic character; at least
+    2 distinct stopwords present (the 'the/and/of' test)."""
+    text = F.col(text_col)
+    words = F.regexp_extract_all(text, F.lit(r"([A-Za-z0-9]+)"), 1)
+    n_words = F.size(words)
+    mwl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+           / F.greatest(n_words, F.lit(1)))
+    alpha_frac = (F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                  / F.greatest(n_words, F.lit(1)))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+        F.array(*[F.lit(s) for s in STOPWORDS])))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= 3)
+            & (F.col("mean_word_len") <= 10)
+            & (F.col("alpha_word_frac") >= 0.7)
+            & (F.col("stop_hits") >= 2))
+    return out.withColumn("keep", keep)
+
+
+def repetition_profile(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules: excess duplicate-3-gram fraction
+    ((total - distinct) / total 3-grams — each repeat beyond the first
+    counts) and the coverage of the single most frequent 2-gram.
+    dup_3gram_frac is a pure array expression (zero shuffle);
+    top_2gram_frac needs the per-doc 2-gram mode — explode + one
+    fused count/max groupBy pair, the standard two-shuffle mode plan
+    (never a per-doc collect)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        .alias("__toks"))
+    toks = F.col("__toks")
+
+    def grams(k: int) -> Column:
+        n = F.size(toks) - (k - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(
+            F.slice(toks, i, k), " "))
+
+    base = toked.select(
+        "doc_id",
+        F.size(grams(3)).alias("n_3grams"),
+        (F.when(F.size(grams(3)) > 0,
+                (F.size(grams(3))
+                 - F.size(F.array_distinct(grams(3)))).cast("double")
+                / F.size(grams(3))).otherwise(F.lit(0.0))
+         ).alias("dup_3gram_frac"),
+        grams(2).alias("__g2"),
+    )
+    g2 = (base.select("doc_id", F.explode_outer("__g2").alias("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id")
+          .agg(F.max(F.when(F.col("g").isNotNull(), F.col("count"))
+                     .otherwise(F.lit(0))).alias("__top2")))
+    return (base.drop("__g2").join(g2, "doc_id")
+            .select("doc_id", "n_3grams",
+                    F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+                    F.round(F.col("__top2").cast("double")
+                            / F.greatest(F.col("n_3grams") + 1, F.lit(1)),
+                            6).alias("top_2gram_frac")))

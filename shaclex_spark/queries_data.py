@@ -686,3 +686,155 @@ def trx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            ))
     out = extract_triples(trx)
     return out.select("subj", "pred", "obj_value", "conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# round 4: training-data curation operators beyond the round-3 set —
+# Gopher quality/repetition rules, LLM sequence packing, and a
+# distributed as-of join (the point-in-time primitive Spark lacks).
+# ---------------------------------------------------------------------------
+
+
+@query("txt_gopher", oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+', 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(CAST(COALESCE(list_aggregate(list_transform(words,
+        w -> length(w)), 'sum'), 0) AS DOUBLE)
+      / greatest(len(words), 1), 6) AS mean_word_len,
+    round(CAST(len(list_filter(words,
+        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      / greatest(len(words), 1), 6) AS alpha_word_frac,
+    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        ['the','a','an','and','or','of','to','in','is','for'])) AS stop_hits
+  FROM w
+)
+SELECT m.*,
+  (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+   AND alpha_word_frac >= 0.7 AND stop_hits >= 2) AS keep
+FROM m
+""")
+def txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (functions/text.py gopher_quality):
+    one scan, zero shuffles — the 100-TB filter-pass shape."""
+    from .functions.text import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+@query("txt_repetition", oracle=rf"""
+WITH tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text,
+      '{TOKEN_RE}', 0), t -> lower(t)) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [] END AS g3,
+    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+        i -> t[i] || ' ' || t[i+1])
+      ELSE [] END AS g2
+  FROM tk
+), base AS (
+  SELECT doc_id, len(g3) AS n_3grams,
+    round(CASE WHEN len(g3) > 0
+      THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      ELSE 0 END, 6) AS dup_3gram_frac,
+    g2
+  FROM g
+), top2 AS (
+  SELECT doc_id, max(cnt) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(g2) AS g FROM base)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_3grams, b.dup_3gram_frac,
+  round(CAST(COALESCE(t.top2, 0) AS DOUBLE)
+    / greatest(b.n_3grams + 1, 1), 6) AS top_2gram_frac
+FROM base b LEFT JOIN top2 t USING (doc_id)
+""")
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (functions/text.py repetition_profile):
+    duplicate-3-gram excess is shuffle-free; the 2-gram mode is the
+    standard explode + fused double-groupBy plan."""
+    from .functions.text import repetition_profile
+
+    return repetition_profile(_read(spark, sf_dir, "documents"))
+
+
+@query("data_pack", oracle=rf"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rn
+  FROM tk WHERE n <= 256
+), g AS (
+  SELECT doc_id, n, CAST(rn % 8 AS INT) AS grp, rn // 8 AS seq FROM s
+), pack AS (
+  SELECT grp, seq, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM g WHERE seq = 0
+  UNION ALL
+  SELECT g.grp, g.seq, g.doc_id, g.n,
+         CASE WHEN p.fill + g.n > 256 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + g.n > 256 THEN g.n ELSE p.fill + g.n END
+  FROM pack p JOIN g ON g.grp = p.grp AND g.seq = p.seq + 1
+)
+SELECT doc_id, grp, bin, fill - n AS "offset" FROM pack
+""")
+def data_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (functions/packing.py): documents ranked
+    by token count, dealt round-robin into 8 parallel groups, next-fit
+    packed into 256-token training sequences. The oracle replays the
+    identical deterministic algorithm as a DuckDB recursive CTE (one
+    item per group per iteration)."""
+    from .functions.packing import pack_sequences
+    from .functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(with_len, capacity=256, n_groups=8)
+
+
+@query("evt_asof", oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c0 AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, click_ts, max(click_id) AS click_id
+  FROM c0 GROUP BY user_id, click_ts
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+FROM p ASOF JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""")
+def evt_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (functions/asof.py): each purchase event
+    paired with the user's most recent click at or before it. The
+    oracle is DuckDB's NATIVE ASOF JOIN — the Spark side must
+    reproduce engine-defined as-of semantics exactly (union + one
+    window pass; no range-join explosion). Gate uses inner as-of so
+    no NULLs reach the hash compare; the left-join no-match path is
+    pinned against pandas merge_asof in tests/test_round4_ops.py."""
+    from .functions.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    return asof_join(purchases, clicks, key="user_id",
+                     left_ts="ts", right_ts="click_ts",
+                     right_cols=["click_id", "click_ts"],
+                     tiebreak="click_id") \
+        .filter(F.col("click_id").isNotNull())

@@ -37,7 +37,8 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                  key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 def all_query_names():

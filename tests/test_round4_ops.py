@@ -1,0 +1,133 @@
+"""Round-4 new operators: as-of join, sequence packing, Gopher
+quality + repetition rules. Spark-vs-DuckDB parity is covered by
+test_oracle_parity (the @query registry is parametrized there); these
+tests pin the operator semantics against independent references
+(pandas merge_asof, a local python replay, hand computation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Random interleaved keys/timestamps incl. exact-tie instants must
+    reproduce pandas merge_asof(direction='backward') row for row."""
+    import numpy as np
+
+    from shaclex_spark.functions.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "lid": range(60),
+        "k": rng.integers(0, 5, 60),
+        "ts": rng.integers(0, 50, 60),
+    })
+    right = pd.DataFrame({
+        "rid": range(100, 140),
+        "k": rng.integers(0, 5, 40),
+        "rts": rng.integers(0, 50, 40),
+    })
+    # pandas reference: backward as-of on sorted frames; ties on equal
+    # (k, rts) deduped to max rid first (same rule as asof_join)
+    r_dedup = (right.sort_values(["k", "rts", "rid"])
+               .groupby(["k", "rts"], as_index=False).last())
+    exp = pd.merge_asof(
+        left.sort_values("ts"), r_dedup.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        direction="backward").sort_values("lid")
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(r_dedup)
+    got = (asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+                     right_cols=["rid", "rts"], tiebreak="rid")
+           .toPandas().sort_values("lid"))
+    for (_, e), (_, g) in zip(exp.iterrows(), got.iterrows()):
+        assert e["lid"] == g["lid"]
+        if pd.isna(e["rid"]):
+            assert pd.isna(g["rid"]), f"lid={e['lid']}"
+        else:
+            assert g["rid"] == e["rid"], f"lid={e['lid']}"
+
+
+def test_pack_sequences_invariants_and_replay(spark):
+    """Every doc <= capacity appears exactly once; per-bin totals never
+    exceed capacity; offsets are the running fill; the whole assignment
+    equals a local replay of the documented algorithm."""
+    import numpy as np
+
+    from shaclex_spark.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(5, 120, 200).tolist() + [300, 280]  # 2 dropped
+    docs = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(lens)],
+        "doc_id long, n_tokens long")
+    cap, G = 128, 4
+    got = pack_sequences(docs, capacity=cap, n_groups=G).toPandas()
+
+    kept = [(i, n) for i, n in enumerate(lens) if n <= cap]
+    assert sorted(got["doc_id"]) == sorted(i for i, _ in kept)
+
+    # local replay: rank by (len desc, id), grp = rank % G, next-fit
+    order = sorted(kept, key=lambda t: (-t[1], t[0]))
+    exp = {}
+    state = {g: [0, 0] for g in range(G)}  # grp -> [bin, fill]
+    for rank, (i, n) in enumerate(order):
+        g = rank % G
+        b, fill = state[g]
+        if fill + n > cap:
+            b, fill = b + 1, 0
+        exp[i] = (g, b, fill)
+        state[g] = [b, fill + n]
+    for _, row in got.iterrows():
+        assert exp[row["doc_id"]] == (row["grp"], row["bin"],
+                                      row["offset"]), row["doc_id"]
+
+    # bin capacity invariant straight from the output
+    merged = got.merge(pd.DataFrame(kept, columns=["doc_id", "n"]),
+                       on="doc_id")
+    merged["end"] = merged["offset"] + merged["n"]
+    assert (merged.groupby(["grp", "bin"])["end"].max() <= cap).all()
+
+
+def test_gopher_quality_hand_computed(spark):
+    from shaclex_spark.functions.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked at the dog for fun "
+             "while it is resting in a warm corner of the big house"),
+         (2, "x " * 30),                      # 1-char words, no stopwords
+         (3, "short text of no use")],        # under min_words
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[1]["n_words"] == 25
+    assert got[1]["stop_hits"] >= 2
+    assert got[2]["keep"] is False            # mean_word_len 1 < 3
+    assert got[2]["mean_word_len"] == 1.0
+    assert got[3]["keep"] is False            # 5 words < 20
+    assert got[3]["n_words"] == 5
+
+
+def test_repetition_profile_crafted(spark):
+    from shaclex_spark.functions.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"),    # maximally repetitive
+         (2, "one two three four five six"),  # all distinct
+         (3, "xy")],                # single token: no grams
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    # doc 1: tokens [a,b]*4 → 6 3-grams, only 2 distinct ("a b a","b a b")
+    assert got[1]["n_3grams"] == 6
+    assert got[1]["dup_3gram_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    # 7 2-grams, top ("a b") occurs 4 times → 4/7
+    assert got[1]["top_2gram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert got[2]["dup_3gram_frac"] == 0.0
+    # 5 distinct 2-grams of 5 → top 1/5
+    assert got[2]["top_2gram_frac"] == pytest.approx(1 / 5, abs=1e-6)
+    assert got[3]["n_3grams"] == 0
+    assert got[3]["dup_3gram_frac"] == 0.0
+    assert got[3]["top_2gram_frac"] == 0.0
