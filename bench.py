@@ -106,6 +106,35 @@ def _burn_worker(_=None) -> float:
     return _calibrate()
 
 
+def _calibrate_proc() -> float:
+    """_calibrate in a fresh SPAWNED process, measured inside it.
+
+    Inside a leg, an in-process probe shares the GIL with the pyspark
+    driver's own threads (py4j listener, plan construction between
+    actions) and reads THEIR activity, not host capacity — measured:
+    one busy sibling thread inflates the in-process probe >100x while
+    16 busy sibling PROCESSES leave it untouched (0.09 s either way).
+    Every probe that runs while a JVM/driver is alive in the same
+    process must therefore measure out-of-process."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as pool:
+        return pool.map(_burn_worker, [0])[0]
+
+
+def _hb_main(outfile: str) -> None:
+    """`bench.py hbprobe <file>` subcommand: an out-of-process
+    heartbeat — one calibration sample appended every ~5 s until the
+    parent terminates us. Lives in its own process for the same GIL
+    reason as _calibrate_proc."""
+    while True:
+        c = _calibrate()
+        with open(outfile, "a") as f:
+            f.write(f"{c:.4f}\n")
+        time.sleep(5.0)
+
+
 def _capacity_probe(n: int) -> dict:
     """Can the host ACTUALLY run ``n`` cores concurrently right now?
 
@@ -121,7 +150,10 @@ def _capacity_probe(n: int) -> dict:
     startup cost does not pollute the reading."""
     import multiprocessing as mp
 
-    solo = _calibrate()
+    # solo must ALSO be out-of-process: an in-process solo inflated by
+    # driver-thread GIL traffic reads cap_eff > 1 (the "incoherent
+    # capacity probe" readings in the round-4 first artifact).
+    solo = _calibrate_proc()
     ctx = mp.get_context("spawn")
     with ctx.Pool(n) as pool:
         per = pool.map(_burn_worker, range(n))
@@ -131,16 +163,18 @@ def _capacity_probe(n: int) -> dict:
 
 
 def _wait_for_clean_host(cal_max: float, max_wait: float,
-                         poll: float = 5.0) -> float:
+                         poll: float = 5.0, probe=_calibrate) -> float:
     """Poll the single-core probe until it reads ≤ cal_max or max_wait
     elapses; returns the last reading. Replaces fixed settle/cool-down
     sleeps: exits immediately on a clean host (more attempts fit in
-    the budget), keeps waiting on a dirty one."""
+    the budget), keeps waiting on a dirty one. Pass
+    probe=_calibrate_proc whenever a JVM/driver lives in this process
+    (GIL pollution — see _calibrate_proc)."""
     t0 = time.time()
-    cal = _calibrate()
+    cal = probe()
     while cal > cal_max and time.time() - t0 < max_wait:
         time.sleep(poll)
-        cal = _calibrate()
+        cal = probe()
     return cal
 
 
@@ -185,8 +219,15 @@ def _leg_main(par: int, n_convs: int) -> None:
     # reads clean (or settle_max) so the TIMED window starts against a
     # recovered host. Exits immediately when already clean — no fixed
     # 45 s tax per leg.
+    # every probe below runs OUT-OF-PROCESS (_calibrate_proc /
+    # hbprobe subprocess): this leg process hosts the Spark driver,
+    # whose py4j/plan-construction threads steal the GIL from any
+    # in-process probe and make it read driver activity instead of
+    # host capacity (the round-4 first artifact invalidated all 4
+    # pairs on exactly that phantom signal).
     cal_pre = _wait_for_clean_host(cal_max,
-                                   settle_max if par > 1 else 20.0)
+                                   settle_max if par > 1 else 20.0,
+                                   probe=_calibrate_proc)
     out = {"n_turns": n_turns, "calibration": round(cal_pre, 3)}
     if par > 1:
         # wide legs die when the host lacks `par` concurrently-free
@@ -198,21 +239,28 @@ def _leg_main(par: int, n_convs: int) -> None:
     # burst INSIDE it — the failure mode that let a wide leg read
     # 1.86x its clean time while every instantaneous probe passed.
     # Max-of-samples: throttle noise is strictly additive.
-    import threading
+    import subprocess as sp
+    import tempfile
 
-    samples: list[float] = []
-    stop = threading.Event()
-
-    def _heartbeat() -> None:
-        while not stop.is_set():
-            samples.append(_calibrate())
-            stop.wait(5.0)
-
-    hb = threading.Thread(target=_heartbeat, daemon=True)
-    hb.start()
-    out["elapsed"] = _timed_pipeline(spark, transcripts)
-    stop.set()
-    hb.join(timeout=2.0)
+    hb_file = tempfile.mktemp(prefix="bench_hb_")
+    hb = sp.Popen([sys.executable, os.path.abspath(__file__),
+                   "hbprobe", hb_file],
+                  stdout=sp.DEVNULL, stderr=sp.DEVNULL,
+                  cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out["elapsed"] = _timed_pipeline(spark, transcripts)
+    finally:
+        hb.terminate()
+        try:
+            hb.wait(timeout=5)
+        except Exception:
+            hb.kill()
+    try:
+        with open(hb_file) as f:
+            samples = [float(x) for x in f.read().split()]
+        os.unlink(hb_file)
+    except FileNotFoundError:
+        samples = []
     if samples:
         out["cal_during"] = round(max(samples), 3)
     if par > 1:
@@ -220,7 +268,7 @@ def _leg_main(par: int, n_convs: int) -> None:
         # of the two so a capacity loss during the run is visible
         post = _capacity_probe(par)
         out["cap_eff_post"] = post["cap_eff"]
-    out["cal_post"] = round(_calibrate(), 3)
+    out["cal_post"] = round(_calibrate_proc(), 3)
     print(json.dumps(out))
 
 
@@ -710,7 +758,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "leg":
+    if len(sys.argv) >= 3 and sys.argv[1] == "hbprobe":
+        _hb_main(sys.argv[2])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "leg":
         _leg_main(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()

@@ -1316,6 +1316,13 @@ class ValidationEngine:
         for lbl in scc:
             conf[lbl] = cands[lbl].withColumn("conforms", F.lit(start)) \
                                   .localCheckpoint(eager=True)
+        # Convergence detection by per-label conforms COUNTS is sound
+        # only because negated reference cycles are rejected up front
+        # (SchemaDict.check_well_formed): within an SCC every operator
+        # is then monotone, so each label's conforming set shrinks
+        # (greatest fixpoint) or grows (least) monotonically between
+        # rounds — equal cardinality implies an equal set, never an
+        # equal-sized swap.
         prev_counts = {lbl: conf[lbl].filter("conforms").count() for lbl in scc}
         last_reports: dict[str, list[DataFrame]] = {}
         for _ in range(MAX_FIXPOINT_ROUNDS):
