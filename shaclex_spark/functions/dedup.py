@@ -332,3 +332,39 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
             .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shingle_k: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``shingle_k``-gram with an evaluation/benchmark set
+    (the n-gram-overlap rule used to scrub eval leakage from LLM
+    training corpora; production uses k=13, synthetic fixtures use
+    k=5 because their documents are short).
+
+    Returns (doc_id, n_hit_ngrams, contaminated) for EVERY training
+    doc — n_hit_ngrams = distinct shared shingles, contaminated =
+    n_hit_ngrams >= 1.
+
+    Scale shape: the eval side is small by construction (benchmarks
+    are a few thousand documents against a 100-TB corpus), so its
+    distinct shingle set is BROADCAST; the corpus side is one
+    explode + broadcast-hash join + one groupBy(doc_id) with map-side
+    partial aggregation. The corpus is never shuffled on the shingle
+    key.
+    """
+    from pyspark.sql.functions import broadcast
+
+    corpus_sh = shingle_table(docs, id_col, text_col, shingle_k)
+    eval_sh = (shingle_table(eval_docs, id_col, text_col, shingle_k)
+               .select(F.explode("sh").alias("g")).distinct())
+    hits = (corpus_sh.select("i", F.explode("sh").alias("g"))
+            .join(broadcast(eval_sh), on="g", how="inner")
+            .groupBy("i").agg(F.count_distinct("g").alias("n_hit_ngrams")))
+    return (docs.select(F.col(id_col).alias("i"))
+            .join(hits, on="i", how="left")
+            .select(F.col("i").alias(id_col),
+                    F.coalesce("n_hit_ngrams", F.lit(0))
+                    .alias("n_hit_ngrams"))
+            .withColumn("contaminated", F.col("n_hit_ngrams") >= 1))

@@ -838,3 +838,69 @@ def evt_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_cols=["click_id", "click_ts"],
                      tiebreak="click_id") \
         .filter(F.col("click_id").isNotNull())
+
+
+@query("data_decontaminate", oracle=rf"""
+WITH tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text,
+      '{TOKEN_RE}', 0), t -> lower(t)) AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(
+      list_transform(range(1, len(t) - 3),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             || t[i+3] || ' ' || t[i+4]))
+    ELSE [] END AS g
+  FROM tk
+), ev AS (
+  SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT c.doc_id, count(DISTINCT c.g) AS n
+  FROM corp c JOIN ev USING (g) GROUP BY c.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_hit_ngrams,
+       COALESCE(h.n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""")
+def data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/dedup.py decontaminate):
+    every 97th document plays the held-out benchmark; training docs
+    sharing any word 5-gram with it are flagged. The eval shingle set
+    is broadcast — the corpus is never shuffled on the shingle key.
+    Non-vacuous at every fixture SF (2/1/20 contaminated docs at
+    sf0.001/0.01/0.1)."""
+    from .functions.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(docs.filter(F.col("doc_id") % 97 != 0),
+                         docs.filter(F.col("doc_id") % 97 == 0),
+                         shingle_k=5)
+
+
+@query("data_sample_stratified", oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+      / 4294967296.0 AS u,
+    CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75
+              WHEN 'de' THEN 0.5 ELSE 0.1 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE u < rate
+""")
+def data_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified down-sampling
+    (functions/sampling.py stratified_sample): per-language keep
+    rates re-balance the corpus (down-weight over-represented 'en',
+    up-weight 'zh'), keyed on md5(doc_id) so the decision is
+    partition- and run-independent. Pure scan->filter: zero
+    shuffles, zero joins at any scale."""
+    from .functions.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 0.75, "de": 0.5},
+        id_col="doc_id", default_rate=0.1).select("doc_id", "lang")

@@ -131,3 +131,88 @@ def test_repetition_profile_crafted(spark):
     assert got[3]["n_3grams"] == 0
     assert got[3]["dup_3gram_frac"] == 0.0
     assert got[3]["top_2gram_frac"] == 0.0
+
+
+def test_decontaminate_crafted(spark):
+    """A doc sharing one 5-gram with the eval set is flagged with the
+    exact distinct-shared-shingle count; disjoint docs report 0."""
+    from shaclex_spark.functions.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # shares two 5-grams (positions 1-5 and 2-6 of eval text)
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            # shares zero (4-gram overlap only: one word changed)
+            (2, "alpha beta gamma delta XX zeta"),
+            # disjoint vocabulary
+            (3, "one two three four five six"),
+            # shorter than k -> empty shingle set
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+           for r in decontaminate(docs, eval_docs, shingle_k=5).collect()}
+    assert got == {1: (2, True), 2: (0, False),
+                   3: (0, False), 4: (0, False)}
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The eval shingle set must reach the corpus join as a broadcast
+    — a shuffle of the 100-TB corpus on the shingle key would be the
+    scale bug this operator exists to avoid."""
+    from shaclex_spark.functions.dedup import decontaminate
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 7, ' w', id % 5, ' w', id % 3, "
+        "' w', id % 11, ' w', id % 13, ' tail', id) AS text")
+    out = decontaminate(docs.filter("doc_id % 10 != 0"),
+                        docs.filter("doc_id % 10 = 0"), shingle_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """The kept set equals the per-row md5 rule computed independently
+    in Python, and is identical across repartitionings (partition- and
+    run-independence is the operator's contract)."""
+    import hashlib
+
+    from shaclex_spark.functions.sampling import stratified_sample
+
+    rows = [(i, ["en", "zh", "de", "fr"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.25, "zh": 0.75, "de": 0.5}
+
+    def keep(i, lang):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return u < rates.get(lang, 0.1)
+
+    expected = {i for i, lang in rows if keep(i, lang)}
+    got1 = {r["doc_id"] for r in
+            stratified_sample(df, "lang", rates, "doc_id",
+                              default_rate=0.1).collect()}
+    got2 = {r["doc_id"] for r in
+            stratified_sample(df.repartition(13), "lang", rates,
+                              "doc_id", default_rate=0.1).collect()}
+    assert got1 == expected
+    assert got2 == expected
+    # sanity: every stratum that should survive is represented
+    assert {lang for i, lang in rows if i in got1} == \
+        {"en", "zh", "de", "fr"}
+
+
+def test_stratified_sample_plan_is_pure_filter(spark):
+    """scan -> filter only: no exchange, no join, no aggregate."""
+    from shaclex_spark.functions.sampling import stratified_sample
+
+    df = spark.range(100).selectExpr("id AS doc_id",
+                                     "CAST(id % 3 AS STRING) AS lang")
+    plan = stratified_sample(df, "lang", {"0": 0.5}, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "Aggregate"):
+        assert bad not in plan, f"{bad} found in plan:\n{plan}"
