@@ -904,3 +904,58 @@ def data_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", {"en": 0.25, "zh": 0.75, "de": 0.5},
         id_col="doc_id", default_rate=0.1).select("doc_id", "lang")
+
+
+@query("dedup_clusters", oracle=r"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0), t -> lower(t)) AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(t) - 1, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tk
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+), e AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), lbl AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.b AS node, lbl.comp
+  FROM lbl JOIN e ON e.a = lbl.node
+  WHERE lbl.comp < e.b
+)
+SELECT node AS doc_id, min(comp) AS canonical_id,
+       node = min(comp) AS is_canonical
+FROM lbl GROUP BY node
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: exact Jaccard>=0.9 pairs (prefix-
+    filter join, recall 1.0) -> connected components (large-star/
+    small-star, O(log n) rounds regardless of chain diameter) ->
+    keep-one canonical selection (min doc_id per cluster). The oracle
+    replays CC as a recursive-CTE min-label propagation. Every doc
+    appears exactly once; downstream keeps is_canonical rows."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .linking import connected_components
+    from .queries import _LIVE_CACHES, _release_previous_caches
+
+    _release_previous_caches()
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3)
+    # CC operates on strings; zero-pad so lexicographic min == numeric
+    # min (doc_ids are non-negative and < 10^12)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("a").alias("a"), pad("b").alias("b"))
+    verts = docs.select(pad("doc_id").alias("node"))
+    cc = connected_components(edges, verts)
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("canonical_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"))

@@ -216,3 +216,31 @@ def test_stratified_sample_plan_is_pure_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "Join", "Aggregate"):
         assert bad not in plan, f"{bad} found in plan:\n{plan}"
+
+
+def test_dedup_cluster_transitive_chain(spark):
+    """Near-dup clustering must be transitive: A~B and B~C put A,B,C
+    in ONE cluster with min-id canonical even when A and C are not
+    themselves a near-dup pair."""
+    from shaclex_spark.functions.dedup import ngram_jaccard_pairs
+    from shaclex_spark.linking import connected_components
+
+    base = [f"w{i}" for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base[:29] + ["xb"])          # J=0.9375 vs a
+    c = " ".join(base[:28] + ["xb", "xc"])    # J=0.9375 vs b, 0.879 vs a
+    docs = spark.createDataFrame(
+        [(5, a), (9, b), (7, c), (42, "totally different words here")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=1)
+    got_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (5, 9) in got_pairs and (7, 9) in got_pairs
+    assert (5, 7) not in got_pairs  # chain, not clique
+
+    pad = "%012d"
+    edges = spark.createDataFrame(
+        [(pad % x, pad % y) for x, y in got_pairs], "a string, b string")
+    verts = docs.selectExpr("lpad(CAST(doc_id AS STRING), 12, '0') AS n")
+    cc = {int(r["node"]): int(r["comp"])
+          for r in connected_components(edges, verts).collect()}
+    assert cc == {5: 5, 9: 5, 7: 5, 42: 42}
