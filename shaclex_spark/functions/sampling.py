@@ -45,3 +45,25 @@ def stratified_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))) \
                 .otherwise(rate)
     return df.filter(u < rate)
+
+
+def token_budget_sample(df: DataFrame, strata_col: str, budget: float,
+                        id_col: str, tokens_col: str) -> DataFrame:
+    """Down-sample each stratum to approximately `budget` tokens:
+    keep rate = min(1, budget / stratum_total_tokens), decided by the
+    same deterministic md5 gate as stratified_sample.
+
+    This is the "mixture" step of a training run: a target token
+    budget per language/source, computed FROM the data instead of a
+    hand-tuned rate table. Two-phase plan: (1) one map-side-combined
+    groupBy producing one row per stratum (tiny at any corpus scale —
+    hundreds of strata, not rows), (2) broadcast that rate table back
+    onto the scan and filter. The corpus itself is never shuffled; at
+    100 TB the only wide exchange moves |strata| rows.
+    """
+    tot = df.groupBy(strata_col).agg(F.sum(tokens_col).alias("_tot"))
+    rate = F.least(F.lit(1.0), F.lit(float(budget)) / F.col("_tot"))
+    u = hash_unit(F.col(id_col))
+    return (df.join(F.broadcast(tot), strata_col)
+              .filter(u < rate)
+              .drop("_tot"))

@@ -906,6 +906,94 @@ def data_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", default_rate=0.1).select("doc_id", "lang")
 
 
+@query("txt_pii_scrub", oracle=r"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' acct 9'
+         || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+         ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\d{9,}', '<NUM>', 'g') AS scrubbed,
+  len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_emails,
+  len(regexp_extract_all(t,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n_ips,
+  len(regexp_extract_all(t, '\d{9,}', 0)) AS n_numbers
+FROM aug
+""")
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/pii.py pii_scrub): emails, IPv4s and
+    >=9-digit runs replaced by markers in one codegen'd projection —
+    no UDF, no shuffle. The synthetic corpus carries no PII, so the
+    query plants deterministic PII spans (keyed on doc_id) in BOTH
+    engines before scrubbing — the gate compares real redactions at
+    every SF, never a vacuous identity map."""
+    from .functions.pii import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit(".17"))).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(
+            F.lit(" acct 9"),
+            F.lpad((d % 100000000).cast("string"), 8, "0"))
+        ).otherwise(F.lit(""))))
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", "scrubbed",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_numbers").cast("long").alias("n_numbers"))
+
+
+@query("data_mixture", oracle=rf"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS tokens
+  FROM documents
+), tot AS (
+  SELECT lang, sum(tokens) AS tot FROM tk GROUP BY lang
+)
+SELECT tk.doc_id, tk.lang, tk.tokens
+FROM tk JOIN tot USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8)
+           AS UBIGINT) / 4294967296.0
+      < least(1.0, 4000.0 / tot.tot)
+""")
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (functions/sampling.py
+    token_budget_sample): each language is down-sampled to ~4k
+    tokens — the rate is computed FROM the corpus (one tiny groupBy,
+    broadcast back), not hand-tuned, and the keep decision is the
+    deterministic md5 gate. The corpus is never shuffled; the only
+    exchange moves |langs| rows."""
+    from .functions.sampling import token_budget_sample
+    from .functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("long").alias("tokens"))
+    return token_budget_sample(tk, "lang", budget=4000.0,
+                               id_col="doc_id", tokens_col="tokens") \
+        .select("doc_id", "lang", "tokens")
+
+
 @query("dedup_clusters", oracle=r"""
 WITH RECURSIVE tk AS (
   SELECT doc_id, list_transform(regexp_extract_all(text,

@@ -244,3 +244,87 @@ def test_dedup_cluster_transitive_chain(spark):
     cc = {int(r["node"]): int(r["comp"])
           for r in connected_components(edges, verts).collect()}
     assert cc == {5: 5, 9: 5, 7: 5, 42: 42}
+
+
+def test_pii_scrub_crafted(spark):
+    """Hand-written PII spans: every kind redacted, counts exact,
+    non-PII text untouched, replacement order safe (an email whose
+    host looks dotted-quad-ish must not leave an <IP> fragment)."""
+    from shaclex_spark.functions.pii import pii_scrub
+
+    docs = spark.createDataFrame([
+        (1, "write to jo.doe+x@sub.example.org or 192.168.0.1 today"),
+        (2, "card 4111111111111111 exp 12/29"),
+        (3, "plain text, no pii at all; v1.2.3 stays"),
+        (4, "x@10.0.0.1.example.com then 10.20.30.40"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    assert got[1]["scrubbed"] == "write to <EMAIL> or <IP> today"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_numbers"]) \
+        == (1, 1, 0)
+    assert got[2]["scrubbed"] == "card <NUM> exp 12/29"
+    assert got[2]["n_numbers"] == 1
+    assert got[3]["scrubbed"] == "plain text, no pii at all; v1.2.3 stays"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_numbers"]) \
+        == (0, 0, 0)
+    # order safety: email runs before IPv4, so the dotted-quad-looking
+    # host is consumed by <EMAIL> and only the bare address becomes <IP>
+    assert got[4]["scrubbed"] == "<EMAIL> then <IP>"
+
+
+def test_pii_scrub_plan_is_single_projection(spark):
+    """scan -> project only: no exchange, no UDF (BatchEvalPython),
+    no join — the scrub must stay inside whole-stage codegen."""
+    from shaclex_spark.functions.pii import pii_scrub
+
+    df = spark.range(10).selectExpr("id AS doc_id",
+                                    "repeat('a b ', 5) AS text")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, f"{bad} found in plan:\n{plan}"
+
+
+def test_token_budget_sample_rates_and_determinism(spark):
+    """Keep counts track min(1, budget/total) per stratum, the kept
+    set is identical across repartitionings, and a stratum under
+    budget is kept whole."""
+    from shaclex_spark.functions.sampling import hash_unit, \
+        token_budget_sample
+
+    rows = [(i, "big" if i < 400 else "small", 10) for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    out = token_budget_sample(df, "lang", budget=1000.0,
+                              id_col="doc_id", tokens_col="tokens")
+    kept = {r["doc_id"] for r in out.collect()}
+    # 'small' stratum: 20 docs * 10 = 200 tokens < budget -> all kept
+    assert {i for i in kept if i >= 400} == set(range(400, 420))
+    # 'big' stratum: rate = 1000/4000 = 0.25; md5 gate is uniform-ish
+    n_big = sum(1 for i in kept if i < 400)
+    assert 60 <= n_big <= 140
+    # exact replay of the gate locally
+    import hashlib
+    exp_big = {i for i in range(400)
+               if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+               / 2**32 < 0.25}
+    assert {i for i in kept if i < 400} == exp_big
+    # partition-independence
+    kept2 = {r["doc_id"]
+             for r in token_budget_sample(
+                 df.repartition(13, "tokens"), "lang", budget=1000.0,
+                 id_col="doc_id", tokens_col="tokens").collect()}
+    assert kept2 == kept
+
+
+def test_token_budget_sample_plan_broadcasts_rate_table(spark):
+    """The corpus side must NOT shuffle: the rate table (one row per
+    stratum) joins back via broadcast."""
+    from shaclex_spark.functions.sampling import token_budget_sample
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS lang",
+        "id % 7 AS tokens")
+    plan = token_budget_sample(df, "lang", 50.0, "doc_id", "tokens") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
