@@ -29,13 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # leg size: big enough that the parallel work W dominates the fixed
-# per-job latency s on BOTH legs (Amdahl fit in BASELINE.md: s≈9.4 s,
-# W≈110 core-s at 1M convs → measured eff ~0.81; at 1.5M convs the
-# same fit predicts ~0.86, buying real margin over the 0.8 gate now
-# that the headline is the MEDIAN of valid pairs) while the wide
-# (4-core) leg stays short enough (~55 s) that a single pair fits a
-# clean host window.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1500000"))
+# per-job latency s on BOTH legs. Round-4 phase-level fit (measured
+# per-phase at 1 and 4 cores on a probe-clean host): extract and link
+# scale ~perfectly (W≈130+40 core-s at 1.5M convs), validate is
+# ~29 core-s at ~3.3/4 average parallelism, and s≈13.5 s total
+# (plan build + stage-launch latency + materialization barriers).
+# At 1.5M convs that fit gives true eff ≈ 0.82 — one thin-margin
+# sample per pair against a 0.8 MEDIAN gate. 2M convs scale W to
+# ≈230 core-s → predicted eff ≈ 0.855, real margin, while the wide
+# leg stays ~75 s — still inside a clean host window.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -410,18 +413,18 @@ def _scaling_evidence() -> dict:
     n_a = int(os.environ.get("SPARK_GRAFT_SCALE_A", "1"))    # N
     n_b = int(os.environ.get("SPARK_GRAFT_SCALE_B", "4"))    # 4N
     cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75"))
-    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "6"))
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.81"))
     cap_min = float(os.environ.get("SPARK_GRAFT_CAP_MIN", "0.8"))
     # wall-clock budgets: no new pair starts past `budget`, EXCEPT
     # when the 3-valid-pair median quorum is not met yet — evidence
     # beats punctuality, so the run may extend to `hard_cap` hunting
-    # for clean windows. Sized for ~4 min/pair at 1.5M convs.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1100"))
+    # for clean windows. Sized for ~6 min/pair at 2M convs.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
     # hard cap sized so worst case (dirty host, max pairs) keeps the
-    # WHOLE bench — input materialization + legs + 2-pass headline —
-    # under ~30 min, inside any plausible external timeout
-    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "1450"))
+    # WHOLE bench — input materialization + legs + 2-pass headline +
+    # sf1 leg — under ~45 min, inside any plausible external timeout
+    hard_cap = float(os.environ.get("SPARK_GRAFT_SCALE_HARD_CAP", "2100"))
     # self-calibrating throttle threshold: baseline = min of 5 probes
     # BEFORE any Spark work heats the host; a leg probe above
     # 1.35×baseline (floor 0.09 s — fresh host ≈ 0.065 s) marks its
