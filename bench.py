@@ -208,9 +208,20 @@ def _leg_main(par: int, n_convs: int) -> None:
     # micro-stage, which a real cluster amortizes but a 10-30 s local
     # leg cannot (measured: 15.6 s -> 11.7 s on the 8-core leg).
     # Production paths keep the session defaults (AQE + skew join on).
+    # GC thread cap: the default parallel-GC thread pool is sized to
+    # the HOST (32 vCPUs), so a minor collection on the 56g heap
+    # bursts 20+ threads — on this credit-metered box that both
+    # drains budget and starves the out-of-process heartbeat probe
+    # (reads as a phantom throttle burst inside an otherwise-clean
+    # window). Cap GC parallelism near the leg width.
+    gc_threads = max(par, 4)
     spark = get_spark(f"bench_leg_{par}", parallelism=par,
                       shuffle_partitions=par,
-                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+                      extra_conf={
+                          "spark.sql.adaptive.enabled": "false",
+                          "spark.driver.extraJavaOptions":
+                              f"-XX:ParallelGCThreads={gc_threads} "
+                              f"-XX:ConcGCThreads=2"})
     run_pipeline(spark, max(n_convs // 40, 100))  # warm-up (JIT, workers)
     if os.path.isdir(BENCH_INPUT):
         transcripts = spark.read.parquet(BENCH_INPUT)
@@ -276,21 +287,38 @@ def _leg_main(par: int, n_convs: int) -> None:
 
 
 def _materialize_bench_input(n_convs: int) -> None:
-    """Synthesize the shared leg input ONCE at full width and land it
-    on tmpfs parquet; every leg then just reads it."""
+    """Synthesize the shared leg input ONCE and land it on tmpfs
+    parquet; every leg then just reads it.
+
+    Credit-frugality (round 4): this sandbox is a burstable-CPU VM —
+    sustained burn drains a CPU credit budget and a drained host slows
+    EVERYTHING (probes included), so every core-second spent before
+    the timed pairs steals headroom from them. The input is
+    deterministic (seed 42), so a previous run's table is reused when
+    a marker records the same n_convs (saves ~1600 core-s right
+    before pair 1), and synthesis runs at modest width (8) — same
+    total CPU, gentler burst."""
     import shutil
     import subprocess as sp
 
+    marker = BENCH_INPUT + ".convs"
     if os.path.isdir(BENCH_INPUT):
+        try:
+            with open(marker) as f:
+                if int(f.read().strip()) == n_convs:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
         shutil.rmtree(BENCH_INPUT, ignore_errors=True)
     # own subprocess: keeps the parent free of a SparkContext so leg
     # JVMs stay the only Spark processes during timed windows
     code = (
         "from shaclex_spark.session import get_spark\n"
         "from shaclex_spark.transcripts import synth_transcripts\n"
-        f"spark = get_spark('bench_input', parallelism=16, shuffle_partitions=16)\n"
+        f"spark = get_spark('bench_input', parallelism=8, shuffle_partitions=8)\n"
         f"t, _ = synth_transcripts(spark, {n_convs}, seed=42)\n"
         f"t.write.mode('overwrite').parquet({BENCH_INPUT!r})\n"
+        f"open({marker!r}, 'w').write(str({n_convs}))\n"
     )
     sp.run([sys.executable, "-c", code], check=True, timeout=900,
            cwd=os.path.dirname(os.path.abspath(__file__)),
