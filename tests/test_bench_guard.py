@@ -107,3 +107,30 @@ def test_deliberate_regression_is_caught(spark):
     # if this fails, the trap disappeared (good news: update the docs)
     # or the guard margin is too tight to catch it (bad news).
     assert bad > 2.0 * good, f"good={good:.2f}s bad={bad:.2f}s"
+
+
+def test_bench_input_reused_when_marker_matches(tmp_path, monkeypatch):
+    """_materialize_bench_input must skip synthesis when the on-disk
+    marker records the same n_convs (deterministic seed-42 input), and
+    must re-synthesize on a size mismatch."""
+    import subprocess
+
+    import bench
+
+    inp = tmp_path / "bench_input"
+    inp.mkdir()
+    monkeypatch.setattr(bench, "BENCH_INPUT", str(inp))
+    (tmp_path / "bench_input.convs").write_text("12345")
+
+    calls = []
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append(a) or None)
+    # avoid the real sp.run import path inside the function
+    import sys
+    monkeypatch.setitem(sys.modules, "subprocess", subprocess)
+
+    bench._materialize_bench_input(12345)
+    assert calls == []          # marker matches -> reuse, no synthesis
+
+    bench._materialize_bench_input(99999)
+    assert len(calls) == 1      # mismatch -> re-synthesize
