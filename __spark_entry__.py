@@ -65,4 +65,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from shaclex_spark import queries as Q
 
-    return Q.ORACLES
+    return Q.resolve_oracles()

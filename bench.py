@@ -267,7 +267,9 @@ def _leg_main(par: int, n_convs: int) -> None:
     import subprocess as sp
     import tempfile
 
-    hb_file = tempfile.mktemp(prefix="bench_hb_")
+    with tempfile.NamedTemporaryFile(prefix="bench_hb_",
+                                     delete=False) as _hbf:
+        hb_file = _hbf.name
     hb = sp.Popen([sys.executable, os.path.abspath(__file__),
                    "hbprobe", hb_file],
                   stdout=sp.DEVNULL, stderr=sp.DEVNULL,
@@ -280,12 +282,20 @@ def _leg_main(par: int, n_convs: int) -> None:
             hb.wait(timeout=5)
         except Exception:
             hb.kill()
+    samples = []
     try:
         with open(hb_file) as f:
-            samples = [float(x) for x in f.read().split()]
+            tokens = f.read().split()
         os.unlink(hb_file)
+        for tok in tokens:
+            # the probe may be terminate()d mid-write: skip a truncated
+            # trailing fragment instead of discarding the whole leg
+            try:
+                samples.append(float(tok))
+            except ValueError:
+                pass
     except FileNotFoundError:
-        samples = []
+        pass
     if samples:
         out["cal_during"] = round(max(samples), 3)
     if par > 1:

@@ -39,36 +39,48 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     (default: first of right_cols) orders equal-(key, ts) right rows —
     the greatest value wins.
     """
+    from pyspark.sql.types import StructField, StructType
+
     tiebreak = tiebreak or right_cols[0]
-    # one row per (key, ts): greatest tiebreak — keeps the window's
-    # carried value deterministic
+    # NULL join keys never match (DuckDB ASOF semantics): drop
+    # NULL-key right rows so they can't pair with NULL-key left rows
+    # inside the shared window partition; NULL-key/NULL-ts left rows
+    # stay and simply carry no right row.
+    # One row per (key, ts): greatest tiebreak — keeps the window's
+    # carried value deterministic.
     r = (right
+         .filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
          .withColumn("__rn", F.row_number().over(
              Window.partitionBy(key, right_ts)
              .orderBy(F.col(tiebreak).desc())))
          .filter(F.col("__rn") == 1).drop("__rn"))
 
+    # the matched right row travels as ONE struct so the carried value
+    # is row-atomic: a NULL in one field of the matched row stays NULL
+    # instead of inheriting that field from an older right row (which
+    # per-column last(ignorenulls) would do, fabricating a composite
+    # row that never existed)
+    r_struct_t = StructType(
+        [StructField(c, r.schema[c].dataType, True) for c in right_cols])
     lcols = left.columns
     l_tagged = left.select(
         F.col(key).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"__r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
     r_tagged = r.select(
         F.col(key).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     # tag 0 (right) sorts before tag 1 (left) at equal ts → inclusive
     # (left_ts >= right_ts) semantics
     w = (Window.partitionBy("__k").orderBy("__ts", "__tag")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = l_tagged.unionByName(r_tagged).select(
-        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w)
-               .alias(f"__c_{c}") for c in right_cols])
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__c"))
     return (carried.filter(F.col("__tag") == 1)
             .select(*[F.col(c) for c in lcols],
-                    *[F.col(f"__c_{c}").alias(c) for c in right_cols]))
+                    *[F.col(f"__c.{c}").alias(c) for c in right_cols]))

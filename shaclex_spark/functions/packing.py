@@ -77,10 +77,16 @@ def _global_rank(df: DataFrame, len_col: str, id_col: str,
         *[F.lit(x) for kv in offsets.items() for x in kv])
     return numbered.withColumn(
         "__rank", off_map[F.col("__pid")] + F.col("__lrn")) \
-        .drop("__pid", "__lrn")
+        .drop("__pid", "__lrn"), acc
 
 
-def pack_sequences(docs: DataFrame, capacity: int, n_groups: int = 8,
+# applyInPandas materializes each group as ONE pandas frame; the
+# payload is (id, len, grp, seq) rows, so 10^7 rows ≈ a few hundred MB
+# per executor frame — the bound the auto-sizer enforces.
+MAX_GROUP_ROWS = 10_000_000
+
+
+def pack_sequences(docs: DataFrame, capacity: int, n_groups: int | None = None,
                    id_col: str = "doc_id", len_col: str = "n_tokens",
                    n_rank_partitions: int | None = None) -> DataFrame:
     """(id_col, grp, bin, offset): bin = packed-sequence index within
@@ -88,16 +94,25 @@ def pack_sequences(docs: DataFrame, capacity: int, n_groups: int = 8,
     longer than ``capacity`` are dropped (callers chunk those
     upstream). Deterministic: rank by (len DESC, id ASC), grp =
     rank % n_groups, next-fit in rank order within each group.
+
+    ``n_groups=None`` (default) auto-sizes: max(8, ceil(rows /
+    MAX_GROUP_ROWS)), so each applyInPandas group is bounded at
+    ~10^7 (id, len) rows regardless of corpus size — a 10^10-doc
+    corpus gets ≥1000 groups instead of 8 unbounded ones. Small
+    corpora keep the historical 8 (deterministic oracles unchanged).
     """
-    ranked = _global_rank(
+    ranked, n_rows = _global_rank(
         docs.filter(F.col(len_col) <= capacity).select(id_col, len_col),
         len_col, id_col, n_rank_partitions)
+    if n_groups is None:
+        n_groups = max(8, -(-n_rows // MAX_GROUP_ROWS))
     grouped = ranked.select(
         id_col, len_col,
         (F.col("__rank") % n_groups).cast("int").alias("grp"),
         (F.col("__rank") / n_groups).cast("long").alias("seq"))
 
-    out_schema = f"{id_col} long, grp int, bin long, offset long"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, grp int, bin long, offset long"
     cap = capacity
 
     def _next_fit(pdf: pd.DataFrame) -> pd.DataFrame:

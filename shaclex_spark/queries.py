@@ -28,13 +28,25 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle=None):
+    """Register a query; ``oracle`` is the equivalent DuckDB SQL — a
+    string, or a zero-arg callable resolved lazily at oracle_sql()
+    time (so an oracle that reads a manifest from disk doesn't run as
+    an import side effect of this module)."""
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """ORACLES with callables resolved (and cached back) to SQL text."""
+    for k, v in list(ORACLES.items()):
+        if callable(v):
+            ORACLES[k] = v()
+    return dict(ORACLES)
 
 
 # live caches of the most recent _validate call: the result DataFrames
@@ -395,10 +407,11 @@ def kg_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.conformance
 # ---------------------------------------------------------------------------
 # 7. W3C ShEx validation suite scorecard (SURVEY.md §5: the reference's
-#    own 1088-entry corpus, ShExTestRunner.scala:16-34). The oracle is a
-#    CONSTANT relation — the committed scorecard; any semantic
-#    regression in the ShExJ reader / engine flips a count and fails
-#    the hash comparison. wrong/error MUST stay 0.
+#    own 1088-entry corpus, ShExTestRunner.scala:16-34). The oracle is
+#    DERIVED from the vendored manifest + the feature-skip taxonomy
+#    (lazily, at oracle_sql() time); any semantic regression in the
+#    ShExJ reader / engine flips a count and fails the hash
+#    comparison. wrong/error MUST stay 0.
 # ---------------------------------------------------------------------------
 
 
@@ -424,7 +437,7 @@ SELECT * FROM (VALUES
 """
 
 
-@query("shex_suite_scorecard", oracle=_scorecard_oracle_sql())
+@query("shex_suite_scorecard", oracle=_scorecard_oracle_sql)
 def shex_suite_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .shex_suite import run_suite_mp, scorecard
 

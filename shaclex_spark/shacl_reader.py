@@ -19,6 +19,8 @@ refs.
 
 from __future__ import annotations
 
+import re
+
 from collections import defaultdict
 
 from .model import RDF, RDFS, SH, XSD_STRING
@@ -386,3 +388,36 @@ def schema_from_turtle(text: str) -> SchemaDict:
 
     triples, _ = parse_turtle(text)
     return ShaclReader(triples).read()
+
+
+class ShaclFormatError(ShaclReadError):
+    """Unsupported shapes-graph serialization (named, so a user
+    bringing JSON-LD/TriG gets a format error, not a parse failure)."""
+
+
+#: accepted spellings → canonical format key
+_FORMATS = {
+    "turtle": "turtle", "ttl": "turtle",
+    "ntriples": "turtle", "nt": "turtle",  # N-Triples ⊂ Turtle
+    "rdfxml": "rdfxml", "xml": "rdfxml", "rdf": "rdfxml",
+}
+
+
+def schema_from_rdf(text: str, fmt: str = "turtle") -> SchemaDict:
+    """Shapes graph in the named RDF serialization → SchemaDict.
+
+    Parity: the reference accepts any Jena-supported format
+    (DataFormats.scala:8-20). Here: Turtle / N-Triples / RDF/XML are
+    parsed driver-side (shapes graphs are broadcast-dimension sized);
+    everything else (JSON-LD, TriG, N3, …) raises ShaclFormatError by
+    NAME instead of failing mid-parse."""
+    key = _FORMATS.get(re.sub(r"[\s/_-]", "", fmt.strip().lower()))
+    if key == "turtle":
+        return schema_from_turtle(text)
+    if key == "rdfxml":
+        from .sources.rdfxml import parse_rdfxml
+
+        return ShaclReader(parse_rdfxml(text)).read()
+    raise ShaclFormatError(
+        f"unsupported shapes-graph format {fmt!r}: supported are "
+        "TURTLE, N-TRIPLES, RDF/XML")

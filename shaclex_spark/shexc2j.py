@@ -804,7 +804,17 @@ class _Parser:
                 extra.append(self._predicate())
                 while self._at_iri() or self._at("a"):
                     extra.append(self._predicate())
-            elif self._eat("kw", "extends") or self._eat("kw", "restricts"):
+            elif self._at("kw", "restricts"):
+                # ShEx 2.1 RESTRICTS is a *restriction* relation — it
+                # contributes NO parent triple expression to the arc
+                # partition, unlike EXTENDS. Until true restriction
+                # semantics are implemented, reject loudly instead of
+                # silently validating with extension semantics
+                # (round-4 advice: silently-wrong beats absent is false).
+                raise self._err(
+                    "RESTRICTS (ShEx 2.1 restriction) is not supported; "
+                    "only EXTENDS (extension) semantics are implemented")
+            elif self._eat("kw", "extends"):
                 ref = self.lx.peek()
                 if ref.kind == "at_pname":
                     self.lx.next()

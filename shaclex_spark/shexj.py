@@ -89,8 +89,22 @@ def _resolve_extends(all_shapes: list[dict]) -> list[dict]:
     combine as EachOf (each arc set partitioned between parent and
     child), non-Shape parents (node constraints, ANDs…) conjoin as
     plain shapeExprs. Rewrites every Shape carrying an "extends" key
-    into the merged form; cycles are a structure error."""
+    into the merged form; cycles are a structure error.
+
+    ABSTRACT (ShEx 2.1): an abstract shape is not directly
+    satisfiable by its own body — a node conforms to it iff it
+    conforms to some shape that EXTENDS it (virtual dispatch). The
+    abstract declaration's body still merges into its extenders (via
+    parent_parts below); its OWN standalone declaration is rewritten
+    to ShapeOr(extender refs) — or an unsatisfiable expression when
+    nothing extends it — so both direct focus and references get the
+    dispatch semantics."""
     by_id = {s["id"]: s for s in all_shapes if "id" in s}
+    extenders: dict[str, list[str]] = {}
+    for s in all_shapes:
+        if isinstance(s, dict) and "id" in s:
+            for p in s.get("extends") or []:
+                extenders.setdefault(p, []).append(s["id"])
 
     def parent_parts(label: str, stack: tuple) -> tuple[list, list, list]:
         """(each_of_exprs, extra, conjuncts) contributed by parent."""
@@ -149,7 +163,20 @@ def _resolve_extends(all_shapes: list[dict]) -> list[dict]:
             return merged
         return o
 
-    return [rewrite(s) for s in all_shapes]
+    out: list[dict] = []
+    for s in all_shapes:
+        if isinstance(s, dict) and s.get("abstract") and "id" in s:
+            kids = extenders.get(s["id"], [])
+            if kids:
+                body: dict = {"type": "ShapeOr", "shapeExprs": list(kids)}
+            else:
+                # no extender exists: nothing can conform ({} matches
+                # every node, so NOT {} matches none)
+                body = {"type": "ShapeNot", "shapeExpr": {"type": "Shape"}}
+            out.append({"id": s["id"], **body})
+        else:
+            out.append(rewrite(s))
+    return out
 
 
 def _index_triple_exprs(shapes: list[dict]) -> dict[str, dict]:

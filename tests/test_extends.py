@@ -112,3 +112,60 @@ def test_extends_cycle_rejected():
     import pytest
     with pytest.raises(Exception):
         parse_shexj(shexc_to_shexj(shex))
+
+def test_restricts_rejected():
+    """ShEx 2.1 RESTRICTS is a restriction (no arc-partition
+    contribution); until real semantics land it must be rejected with
+    a named error, not silently validated as EXTENDS."""
+    import pytest
+    from shaclex_spark.shexc2j import ShExCError
+    shex = f"""
+    prefix : <{EX}>
+    :B {{ :a [1 2] }}
+    :A restricts :B {{ :a [1] }}
+    """
+    with pytest.raises(ShExCError, match="RESTRICTS"):
+        shexc_to_shexj(shex)
+
+
+ABSTRACT1 = f"""
+prefix : <{EX}>
+abstract :B {{ :a [1 2] }}
+:A extends :B {{ :b [3] }}
+"""
+
+
+def test_abstract_parses_flag():
+    j = shexc_to_shexj(ABSTRACT1)
+    b = [s for s in j["shapes"] if s["id"] == EX + "B"][0]
+    assert b.get("abstract") is True
+
+
+def test_abstract_dispatches_to_extenders(spark):
+    """An abstract shape is not directly satisfiable by its own body:
+    direct focus on it conforms iff the node conforms to some
+    EXTENDS-ing shape (virtual dispatch, ShEx 2.1)."""
+    rows = [
+        # n1 satisfies the full extender A (parent body + child body)
+        (EX + "n1", EX + "a", *_lit("1")),
+        (EX + "n1", EX + "b", *_lit("3")),
+        # n2 satisfies only B's own body — abstract, so NOT conformant
+        (EX + "n2", EX + "a", *_lit("1")),
+    ]
+    conf = _validate(spark, ABSTRACT1, rows,
+                     [(EX + "n1", EX + "B"), (EX + "n2", EX + "B"),
+                      (EX + "n1", EX + "A"), (EX + "n2", EX + "A")])
+    assert conf[(EX + "n1", EX + "A")] is True
+    assert conf[(EX + "n1", EX + "B")] is True   # via dispatch to A
+    assert conf[(EX + "n2", EX + "A")] is False
+    assert conf[(EX + "n2", EX + "B")] is False  # own body alone is moot
+
+
+def test_abstract_without_extender_never_conforms(spark):
+    shex = f"""
+    prefix : <{EX}>
+    abstract :B {{ :a [1 2] }}
+    """
+    rows = [(EX + "n1", EX + "a", *_lit("1"))]
+    conf = _validate(spark, shex, rows, [(EX + "n1", EX + "B")])
+    assert conf[(EX + "n1", EX + "B")] is False

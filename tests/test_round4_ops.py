@@ -328,3 +328,57 @@ def test_token_budget_sample_plan_broadcasts_rate_table(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_autosize_and_string_ids(spark, monkeypatch):
+    """Round-5: n_groups=None auto-sizes from the doc count (bounded
+    per-group rows, survives a 10^10-doc corpus), and the output id
+    column keeps the input dtype (string/UUID corpora)."""
+    from shaclex_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", 10 + (i % 7)) for i in range(60)],
+        "doc_id string, n_tokens long")
+
+    # small corpus, default: historical floor of 8 groups
+    out = packing.pack_sequences(docs, capacity=64)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    pdf = out.toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(f"doc-{i:03d}" for i in range(60))
+    assert pdf["grp"].nunique() <= 8 and pdf["grp"].max() <= 7
+
+    # shrink the per-group bound: auto-sizer must scale groups with rows
+    monkeypatch.setattr(packing, "MAX_GROUP_ROWS", 5)
+    out2 = packing.pack_sequences(docs, capacity=64).toPandas()
+    assert out2["grp"].max() >= 11  # ceil(60/5) = 12 groups
+    assert sorted(out2["doc_id"]) == sorted(pdf["doc_id"])
+
+    # explicit n_groups still honored verbatim
+    out3 = packing.pack_sequences(docs, capacity=64, n_groups=3).toPandas()
+    assert set(out3["grp"]) <= {0, 1, 2}
+
+
+def test_asof_join_row_atomic_and_null_keys(spark):
+    """Round-5 (advice): the carried right row is atomic — a NULL field
+    in the matched right row must stay NULL, never inherit that field
+    from an OLDER right row; and NULL join keys never match (DuckDB
+    ASOF semantics)."""
+    from shaclex_spark.functions.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, None, 20), (4, "b", 5)],
+        "lid int, k string, ts int")
+    rdf = spark.createDataFrame(
+        # k=a: older row has v=7; the LATEST row (rts=25) has v=NULL.
+        # k=NULL right rows must never match anything.
+        [(100, "a", 1, 7), (101, "a", 25, None), (102, None, 1, 99)],
+        "rid int, k string, rts int, v int")
+    got = {r["lid"]: (r["rid"], r["v"])
+           for r in asof_join(ldf, rdf, key="k", left_ts="ts",
+                              right_ts="rts", right_cols=["rid", "v"],
+                              tiebreak="rid").collect()}
+    assert got[1] == (100, 7)        # only the older row is at/before 10
+    assert got[2] == (101, None)     # matched rts=25 row: v stays NULL,
+    #                                  NOT inherited from rid=100
+    assert got[3] == (None, None)    # NULL left key: no match
+    assert got[4] == (None, None)    # no right row at/before ts=5
