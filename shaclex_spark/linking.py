@@ -395,11 +395,17 @@ def link_mentions(mentions: DataFrame,
     # driver barriers follow it — on a local runner each Spark action
     # costs fixed latency that lands straight in Amdahl's serial term.
     spark = mentions.sparkSession
-    mentions = mentions.persist()
-    n_mentions = mentions.count()
 
     small_pairs: list[tuple[str, str]] | None = None
-    if n_mentions <= 100_000:
+    # ONE action decides the path AND fetches the small vocabulary:
+    # limit(100_001).collect() — when the distinct-mention relation is
+    # driver-sized the rows come back directly (the separate
+    # persist+count+collect of earlier rounds cost two extra driver
+    # barriers, each fixed stage-launch latency in Amdahl's serial
+    # term); when it is not, we fall through to the distributed path
+    # having shipped at most 100_001 short strings.
+    head = mentions.limit(100_001).collect()
+    if len(head) <= 100_000:
         # small-vocabulary fast path (bounded mention population): pull
         # the mention strings once and run the SAME blocking pipeline
         # (char-shingle minhash → banded buckets → exact-Jaccard verify
@@ -407,8 +413,7 @@ def link_mentions(mentions: DataFrame,
         # identical (exact verify); recall is equivalent (same band/row
         # geometry). One collect instead of ~7 eager Spark barriers,
         # each of which lands in Amdahl's serial term on a local run.
-        rows = [r["mention"] for r in mentions.collect()]
-        mentions.unpersist()
+        rows = [r["mention"] for r in head]
         comp_rows = _driver_link(rows, threshold)
         pairs_list = [(mention_prefix + n, entity_prefix + c)
                       for n, c in comp_rows]
@@ -417,6 +422,11 @@ def link_mentions(mentions: DataFrame,
         if len(pairs_list) <= 1000:
             small_pairs = pairs_list
     else:
+        # big vocabulary: persist the mention relation (read by the
+        # blocking pipeline AND the final component-label join) and
+        # size the partitioning from the real count.
+        mentions = mentions.persist()
+        n_mentions = mentions.count()
         n_parts = max(1, min(int(n_mentions / 100_000) + 1,
                              spark.sparkContext.defaultParallelism * 4))
         big = mentions.coalesce(n_parts) \

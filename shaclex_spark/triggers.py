@@ -52,11 +52,15 @@ def target_focus(spark: SparkSession, schema: SchemaDict,
                 if membership is None:
                     from .validation import class_membership
                     membership = class_membership(triples)
-                sel = (membership.filter(F.col("cls") == t.value)
-                       .select("inst").distinct())
+                # no per-branch distinct: the single final distinct()
+                # below dedupes the whole union in ONE exchange (its
+                # partial aggregate dedupes map-side), where per-branch
+                # distincts cost one exchange each (serial stage
+                # latency on the conformance job's critical path)
+                sel = membership.filter(F.col("cls") == t.value).select("inst")
                 pieces.append(_mk(sel, lbl, "targetClass"))
             elif t.kind == "targetSubjectsOf":
-                sel = triples.filter(F.col("pred") == t.value).select("subj").distinct()
+                sel = triples.filter(F.col("pred") == t.value).select("subj")
                 pieces.append(_mk(sel, lbl, "targetSubjectsOf"))
             elif t.kind == "targetObjectsOf":
                 # objects may be literal terms: carry full term identity
@@ -66,8 +70,7 @@ def target_focus(spark: SparkSession, schema: SchemaDict,
                                F.lit("targetObjectsOf").alias("selector"),
                                F.col("obj_kind").alias("node_kind"),
                                F.col("obj_dt").alias("node_dt"),
-                               F.col("obj_lang").alias("node_lang"))
-                       .distinct())
+                               F.col("obj_lang").alias("node_lang")))
                 pieces.append(sel)
             else:
                 raise ValueError(f"unknown target kind {t.kind}")
@@ -97,11 +100,11 @@ def shape_map_focus(spark: SparkSession, triples: DataFrame,
                               shape, "node"))
         elif "focusSubjectsOf" in assoc:
             sel = (triples.filter(F.col("pred") == assoc["focusSubjectsOf"])
-                   .select("subj").distinct())
+                   .select("subj"))  # final distinct() dedupes the union
             pieces.append(_mk(sel, shape, "pattern"))
         elif "focusObjectsOf" in assoc:
             sel = (triples.filter(F.col("pred") == assoc["focusObjectsOf"])
-                   .select("obj_value").distinct())
+                   .select("obj_value"))
             pieces.append(_mk(sel, shape, "pattern"))
         elif "sql" in assoc or "sparql" in assoc:
             sel = spark.sql(assoc.get("sql") or assoc["sparql"])

@@ -716,9 +716,26 @@ class ValidationEngine:
         # ---- 2. property constraints --------------------------------------
         simple = [pc for pc in shape.properties if pc.path.is_simple_pred]
         complexp = [pc for pc in shape.properties if not pc.path.is_simple_pred]
+        pairwise = [pc for pc in shape.properties
+                    if pc.equals or pc.disjoint or pc.less_than
+                    or pc.less_than_or_equals]
 
         if simple or shape.closed:
             agg_df = self._eval_simple_props(shape, cand, conf, simple, reports)
+            if (not shape.node_constraints and not complexp
+                    and not shape.one_of and not shape.group_blocks
+                    and not shape.repeat_alts and not pairwise):
+                # pure fused-aggregate shape (the overwhelmingly common
+                # case: every constraint is a simple forward predicate):
+                # the grouped aggregate already has exactly one row per
+                # candidate (the left join preserves every cand row and
+                # KEY is unique within cand) and carries the full term
+                # columns through the groupBy, so it IS the conformance
+                # relation — skip the join-back onto cand (one exchange
+                # + sort-merge join per shape on the critical path).
+                return (agg_df.select(KEY, *FCOLS,
+                                      F.col("__props_ok").alias("conforms")),
+                        reports)
             ok_flags.append(("__props_ok", agg_df.select(KEY, "__props_ok")))
 
         for i, pc in enumerate(complexp):
@@ -928,7 +945,12 @@ class ValidationEngine:
                 )
             )
 
-        grouped = arcs.groupBy(KEY, "f_value").agg(*aggs)
+        # group by the full term tuple: KEY is injective in (f_kind,
+        # f_value, f_dt, f_lang), so cardinality is unchanged, the
+        # exchange still hashes one key set, and the term columns ride
+        # through - letting a pure simple-pred shape use this aggregate
+        # AS the conformance relation (no join-back onto cand).
+        grouped = arcs.groupBy(KEY, *FCOLS).agg(*aggs)
 
         ok = F.lit(True)
         if shape.closed:
@@ -948,7 +970,7 @@ class ValidationEngine:
             ok = ok & c_ok
             # cardinality / hasValue / uniqueLang report rows (per focus)
             self._card_reports(reports, grouped, shape, pc, names)
-        return grouped.select(KEY, ok.alias("__props_ok"))
+        return grouped.select(KEY, *FCOLS, ok.alias("__props_ok"))
 
     def _card_reports(self, reports: list[DataFrame], grouped: DataFrame,
                       shape: Shape, pc: PropertyConstraint, names: dict) -> None:
@@ -1357,12 +1379,27 @@ class ValidationEngine:
         assumption) surface as 'unknown' instead of silently adopting
         the co-inductive answer. The boolean ``conforms`` stays the
         greatest-fixpoint verdict for backward compatibility."""
-        cands = self._propagate_candidates(focus)
-        # candidate sets are reused by every constraint sub-plan of a
-        # shape (fused agg, complex paths, pairwise, reports): persist
-        # lazily so each materializes at most once.
-        for lbl in cands:
-            cands[lbl] = self._maybe_persist(cands[lbl])
+        ref_free = not self._ref_edges()
+        if ref_free:
+            # no shape references: every candidate comes straight from
+            # the focus relation, so ONE shared cache over the focus
+            # candidates replaces k per-shape caches — the focus
+            # sub-plan (union of target distincts over the full triple
+            # relation) materializes once instead of once per shape,
+            # and each shape's candidate set is a filter over the
+            # cache. At 2M-conv bench scale this removes two full
+            # focus recomputations from the conformance job's critical
+            # path (Amdahl serial term, BASELINE.md round-5 notes).
+            base = self._maybe_persist(focus_to_candidates(focus))
+            cands = {lbl: base.filter(F.col("shape") == lbl).drop("shape")
+                     for lbl in self.schema.shapes}
+        else:
+            cands = self._propagate_candidates(focus)
+            # candidate sets are reused by every constraint sub-plan of
+            # a shape (fused agg, complex paths, pairwise, reports):
+            # persist lazily so each materializes at most once.
+            for lbl in cands:
+                cands[lbl] = self._maybe_persist(cands[lbl])
         conf: dict[str, DataFrame] = {}
         lfp_conf: dict[str, DataFrame] = {}  # per-label least-fixpoint verdicts
         all_reports: list[DataFrame] = []
@@ -1442,8 +1479,17 @@ class ValidationEngine:
             kept = kept.unionByName(
                 report.filter(F.col("source_shape").isin(transparent)))
         report = kept
-        focus_pairs = focus.select("node", "shape").distinct()
-        conformance = conformance.join(focus_pairs, on=["node", "shape"], how="left_semi")
+        if not ref_free:
+            # ref schemas propagate candidates BEYOND the focus (values
+            # reachable via shape refs get their own conformance rows);
+            # restrict the output to the asked-for associations. For
+            # ref-free schemas conf == focus by construction (candidates
+            # ARE the focus split per shape), so the semi-join — and
+            # its full recomputation of the focus sub-plan — is skipped.
+            focus_pairs = focus.select("node", "shape").distinct()
+            conformance = conformance.join(focus_pairs,
+                                           on=["node", "shape"],
+                                           how="left_semi")
         return ValidationResult(conformance=conformance, report=report)
 
 
