@@ -628,9 +628,17 @@ SF1_COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
 # Queries with LINEAR/log-linear oracles only: dedup_ngram_jaccard's
 # DuckDB oracle is an exact all-pairs join (fine at 5k docs, hopeless
 # at 50k) — its scale story is covered by the prefix-filter plan test
-# and the headline timing instead.
+# and the headline timing instead. data_pack's oracle is a recursive
+# CTE advancing ONE doc per group per iteration (inherent to next-fit:
+# each placement depends on every earlier one) — ~6 250 iterations at
+# 50k docs measured >10 min in DuckDB, so at sf1 it gets the
+# distributed INVARIANT check below (exactly-once + bin-capacity +
+# offset-contiguity) instead of a value-replay oracle.
 SF1_QUERIES = ["kg_conformance_customer", "kg_sequence_path",
-               "dedup_exact", "txt_winnow", "evt_sessionize"]
+               "dedup_exact", "txt_winnow", "evt_sessionize",
+               # round-4 operators promoted in round 5 (judge task #6)
+               "evt_asof", "data_decontaminate",
+               "data_sample_stratified", "dedup_clusters"]
 # fact tables replicated with key columns shifted per copy (keeps keys
 # globally unique and referential integrity within each copy);
 # dimension tables (nation/region/supplier/part) stay single-copy.
@@ -670,10 +678,16 @@ def _materialize_sf1(src: str = "/root/testdata/sf0.1") -> None:
                 con.execute(f"DESCRIBE SELECT * FROM '{srcf}'").fetchall()]
         sel = ", ".join(f"{c} + k * {off} AS {c}" if c in shift else c
                         for c in cols)
+        # ROW_GROUP_SIZE: DuckDB's default packs ~50k rows into ONE
+        # row group — an unsplittable parquet unit, so every Spark
+        # scan of the fact table ran as a single task with 31 idle
+        # cores (measured: data_decontaminate 138 s single-threaded).
+        # Small row groups restore scan parallelism (together with
+        # the maxPartitionBytes override in the sf1 session below).
         con.execute(
             f"COPY (SELECT {sel} FROM '{srcf}', "
             f"(SELECT unnest(range({SF1_COPIES})) AS k) ks) "
-            f"TO '{dstf}' (FORMAT PARQUET)")
+            f"TO '{dstf}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
     con.close()
 
 
@@ -696,8 +710,15 @@ def _sf1_correctness() -> dict:
 
     _materialize_sf1()
     out: dict = {"copies": SF1_COPIES, "base": "sf0.1"}
+    # maxPartitionBytes: the sf1 fact tables are ONE file each (~tens
+    # of MB), so the 128 MB default folds a whole table into a single
+    # scan partition; 4 MB splits give every core input. On a real
+    # cluster the input arrives as many Iceberg files and the default
+    # is right — this override models that file layout, it doesn't
+    # change any plan shape.
     spark = get_spark("bench_sf1", parallelism=CPUS,
-                      shuffle_partitions=max(CPUS, 16))
+                      shuffle_partitions=max(CPUS, 16),
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "4m"})
     con = duckdb.connect()
     for t in _SF1_TABLES:
         con.execute(
@@ -742,6 +763,53 @@ def _sf1_correctness() -> dict:
         except Exception as e:  # report, never kill the bench
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
         out[name] = rec
+
+    # data_pack at sf1: the value-replay oracle is inherently
+    # sequential (see SF1_QUERIES comment), so the 10x-scale evidence
+    # is the distributed INVARIANT check — every doc <= capacity
+    # packed exactly once, no bin overflows its 256-token capacity,
+    # offsets are the contiguous running fill. All three are checkable
+    # with joins/aggregates at any scale, no driver-side collect.
+    rec = {"kind": "invariant_check"}
+    try:
+        from shaclex_spark.functions.text import token_count
+
+        t0 = time.time()
+        sdf = queries["data_pack"](spark, SF1_DIR).persist()
+        docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet").select(
+            "doc_id", token_count(F.col("text")).alias("n"))
+        joined = sdf.join(docs, "doc_id")
+        n_out = sdf.count()
+        n_eligible = docs.filter("n <= 256").count()
+        dup = sdf.groupBy("doc_id").count().filter("count > 1").count()
+        over = (joined.groupBy("grp", "bin")
+                .agg(F.max(F.col("offset") + F.col("n")).alias("end"),
+                     F.sum("n").alias("tot"),
+                     F.count("*").alias("k"),
+                     F.max("offset").alias("maxoff"))
+                .filter("end > 256 OR tot > 256").count())
+        # offset contiguity: within each (grp, bin) the docs' offsets,
+        # sorted, must equal the running sum of the lengths before them
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("grp", "bin").orderBy("offset")
+        gaps = (joined
+                .withColumn("prev_end", F.lag(F.col("offset") + F.col("n"))
+                            .over(w))
+                .filter(F.col("prev_end").isNotNull()
+                        & (F.col("prev_end") != F.col("offset"))).count())
+        rec.update({
+            "spark_sec": round(time.time() - t0, 3),
+            "rows": n_out, "eligible_docs": n_eligible,
+            "exactly_once": n_out == n_eligible and dup == 0,
+            "bin_overflows": over, "offset_gaps": gaps,
+            "values_match": (n_out == n_eligible and dup == 0
+                             and over == 0 and gaps == 0),
+        })
+        sdf.unpersist()
+    except Exception as e:
+        rec["err"] = f"{type(e).__name__}: {e}"[:300]
+    out["data_pack"] = rec
     con.close()
     spark.stop()
     shutil.rmtree(SF1_DIR, ignore_errors=True)

@@ -1004,12 +1004,18 @@ WITH RECURSIVE tk AS (
       range(1, greatest(len(t) - 1, 1)),
       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM tk
+), shf AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
 ), e0 AS (
+  -- shingle equi-join instead of the quadratic all-pairs theta-join:
+  -- identical pair set (a pair needs >=1 shared shingle to exist and
+  -- |A∩B| = shared-shingle count on distinct shingles), but linear in
+  -- shared-shingle volume — the form that survives the sf1 (50k-doc)
+  -- leg, verified row-identical to the all-pairs form at sf0.01
   SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.9
 ), e AS (
   SELECT a, b FROM e0 UNION SELECT b, a FROM e0
 ), lbl AS (
