@@ -33,7 +33,8 @@ def leg(par: int, n_convs: int) -> None:
     spark = get_spark(f"profile_{par}", parallelism=par,
                       shuffle_partitions=par,
                       extra_conf={
-                          "spark.sql.adaptive.enabled": "false",
+                          "spark.sql.adaptive.enabled":
+                              os.environ.get("PROFILE_AQE", "false"),
                           "spark.driver.extraJavaOptions":
                               f"-XX:ParallelGCThreads={max(par, 4)} "
                               f"-XX:ConcGCThreads=2"})
