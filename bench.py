@@ -28,28 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# leg size: big enough that the parallel work W dominates the fixed
-# per-job latency s on BOTH legs. Round-4 phase-level fit (measured
-# per-phase at 1 and 4 cores on a probe-clean host): extract and link
-# scale ~perfectly (W≈130+40 core-s at 1.5M convs), validate is
-# ~29 core-s at ~3.3/4 average parallelism, and s≈13.5 s total
-# (plan build + stage-launch latency + materialization barriers).
-# A second, MULTIPLICATIVE effect measured on probe-clean windows:
-# running 4 cores concurrently costs each ~8% vs a solo core
-# (all-core frequency scaling — solo burns get turbo; the capacity
-# probe reads a steady ~0.78 on clean windows, never ~1.0). The wide
-# leg pays it in full, so eff ~= (s + W) / ((4s + W) * 1.08): at 2M
-# convs (W~=230 core-s) that predicts 0.793 — and the cleanest
-# measured 2M pair read exactly 0.799 (T_A=243.4, T_B=76.1, both
-# matching the fit's point predictions). 3M convs (W~=340 core-s,
-# T_A~=355 s, T_B~=95 s) would predict ~=0.83, but measured clean
-# windows on this credit-metered host last only ~15-25 min after an
-# idle refill: three 2M pairs fit one window, barely two 3M pairs do
-# (a fully-throttled 3M attempt produced 856 s legs and only 2 pairs
-# inside the hard cap). 2M is the compromise: predicted ~=0.80 per
-# clean pair with 3+ attempts per window, and the median estimator
+# leg size (round 5: 1M convs / 12M turns; was 2M). The round-4
+# sizing amortized s≈13.5 s of driver barriers; round 5 cut s to
+# ~0.2 s (tools/profile_pipeline.py two-size fit at width 4:
+# w_per_conv=146.7 core-s/M, s=0.23), so bigger legs no longer buy
+# efficiency — steady-state eff at (2,8) reads 0.848 at 1M convs
+# (w2=59.1 s, w8=17.4 s, min of 3 reps) and the same ~0.85 at 2M.
+# What bigger legs DO cost on this credit-metered host is budget and
+# in-window throttle exposure: a (2,8) pair at 1M burns ~260 core-s
+# (vs ~610 for the round-4 (1,4)@2M pair), so one recovered window
+# yields 2-3x the probe-valid attempts — and the median estimator
 # needs the ATTEMPTS more than the margin.
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -518,6 +508,23 @@ def _scaling_evidence() -> dict:
         # immediately, dirty ones wait out the throttle window.
         if i > 0 or not os.environ.get("SPARK_GRAFT_NO_FIRST_COOLDOWN"):
             _wait_for_clean_host(cal_max, cooldown)
+        # credit-refill idle (round 5): on this credit-metered host an
+        # INSTANTANEOUS probe reads clean while the budget is too
+        # drained to sustain an 8-core leg — every pair then dies on
+        # in-window bursts or dispersion, and poll-until-clean can't
+        # see it. After consecutive invalid pairs, idle HARD
+        # (90 s → 180 s → 360 s cap) before the next attempt: credits
+        # replenish on idle, so buying recovery beats burning budget
+        # on doomed legs. Resets once a pair validates.
+        consec_invalid = 0
+        for p in reversed(pairs):
+            if p.get("valid"):
+                break
+            consec_invalid += 1
+        if consec_invalid and len(valid_pairs) < 3:
+            refill = min(90 * 2 ** (consec_invalid - 1), 360)
+            if time.time() - t_start + refill < hard_cap:
+                time.sleep(refill)
         if i % 2 == 0:
             leg_b = _run_leg(n_b, BENCH_CONVS)
             leg_a = _run_leg(n_a, BENCH_CONVS)
