@@ -30,15 +30,21 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for each query id (excluding itself).
     Output: (query_id, neighbor_id, rank, cosine)."""
+    # PERF (r6): norms bound BEFORE the query×corpus join — the inline
+    # form re-ran the interpreted 64-element norm fold twice per
+    # (query, corpus) pair; binding computes each norm once per row
+    # (same double ops, bit-identical cosine).
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("cv"))
+                        F.col(vec_col).alias("cv"),
+                        _norm(F.col(vec_col)).alias("__cn"))
     scored = (corpus.join(F.broadcast(queries))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cosine",
                           _dot(F.col("qv"), F.col("cv"))
-                          / (_norm(F.col("qv")) * _norm(F.col("cv")))))
+                          / (F.col("__qn") * F.col("__cn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -68,16 +68,56 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan profile. PERF (r6): the tokenizer/word/punct regex
+    subtrees are bound to columns in their own projections — the
+    inline composition re-evaluated each regex up to 4x per row
+    (interpreted higher-order functions have no common-subexpression
+    elimination, and CollapseProject keeps multi-referenced non-cheap
+    aliases bound instead of inlining them). Results are expression-
+    identical to the old composition, just evaluated once."""
     c = F.col(text_col)
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        word_count(c).alias("n_words"),
-        F.round(stopword_ratio(c), 6).alias("stop_ratio"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(mean_word_len(c), 6).alias("mean_word_len"),
-        F.round(quality_score(c), 6).alias("quality"),
-        doc_fingerprint(c).alias("fingerprint"),
+        tokens(c).alias("__tk"),
+        F.regexp_extract_all(c, F.lit(r"([A-Za-z0-9]+)"), 1).alias("__words"),
+        F.size(F.regexp_extract_all(c, F.lit(r"([^A-Za-z0-9\s])"), 1))
+        .alias("__np"),
+        F.length(c).alias("__len"),
+    )
+    mid = base.select(
+        "doc_id",
+        F.size("__tk").alias("__ntk"),
+        F.transform(F.col("__tk"), lambda t: F.lower(t)).alias("__tl"),
+        F.size("__words").alias("__nw"),
+        F.aggregate(F.col("__words"), F.lit(0),
+                    lambda acc, w: acc + F.length(w)).alias("__wsum"),
+        "__np", "__len",
+    )
+    pre = mid.select(
+        "doc_id", "__ntk", "__nw", "__np", "__len",
+        F.size(F.filter(F.col("__tl"), lambda t: t.isin(STOPWORDS)))
+        .alias("__nstop"),
+        (F.col("__wsum") / F.greatest(F.col("__nw"), F.lit(1)))
+        .alias("__mwl"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("__tl"))),
+                           " ")).alias("fingerprint"),
+    )
+    stop_ratio = F.col("__nstop") / F.greatest(F.col("__ntk"), F.lit(1))
+    punct = F.col("__np") / F.greatest(F.col("__len"), F.lit(1))
+    mwl = F.col("__mwl")
+    len_ok = F.least(F.col("__len") / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct * 5, F.lit(1.0))
+    wl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.least(stop_ratio * 10, F.lit(1.0))
+    return pre.select(
+        "doc_id",
+        F.col("__ntk").alias("n_tokens"),
+        F.col("__nw").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round((len_ok + punct_ok + wl_ok + stop_ok) / 4, 6).alias("quality"),
+        "fingerprint",
     )
 
 

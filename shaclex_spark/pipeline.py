@@ -89,7 +89,11 @@ def validate_kg(spark: SparkSession, triples: DataFrame,
     if focus_filter is not None:
         focus = focus.join(focus_filter.select("node").distinct(),
                            on="node", how="left_semi")
-    return engine.validate(focus)
+    # one-pass target fast path only when the focus is the schema's own
+    # unfiltered target selection (shape maps / incremental filters
+    # subset it, so they stay on the general path)
+    native = shape_map is None and focus_filter is None
+    return engine.validate(focus, targets_native=native)
 
 
 def _arc_local_schema(shapes_json: list[dict] | None) -> str | bool:

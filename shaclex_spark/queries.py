@@ -106,7 +106,9 @@ def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
     engine = ValidationEngine(spark, schema, triples)
     focus = target_focus(spark, schema, triples)
     _LIVE_CACHES.append(engine)
-    return engine.validate(focus)
+    # targets_native: focus IS the unfiltered target_focus of this
+    # schema — eligible shapes take the one-pass fast path (r6 opt)
+    return engine.validate(focus, targets_native=True)
 
 
 # ---------------------------------------------------------------------------

@@ -840,14 +840,37 @@ class ValidationEngine:
         """ONE left join cand ⋈ T(subj) + ONE groupBy with conditional
         aggregates for every simple-pred constraint + CLOSED residue.
         This is the §4.3 physical plan."""
+        ts = self._constraint_arcs(shape, props)
+        arcs = cand.join(ts, on=cand["f_value"] == ts["subj"], how="left").drop("subj")
+        grouped, ok = self._fused_agg(shape, arcs, conf, props, reports,
+                                      group_cols=[KEY, *FCOLS])
+        return grouped.select(KEY, *FCOLS, ok.alias("__props_ok"))
+
+    def _constraint_arcs(self, shape: Shape,
+                         props: list[PropertyConstraint]) -> DataFrame:
+        """Pred-filtered arc relation feeding the fused aggregate."""
         t = self.triples
         preds = {pc.path.iri for pc in props}
         if not shape.closed:
             # predicate pushdown: only arcs we actually inspect
             t = t.filter(F.col("pred").isin(list(preds))) if preds else t.limit(0)
-        ts = t.select("subj", "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang")
-        arcs = cand.join(ts, on=cand["f_value"] == ts["subj"], how="left").drop("subj")
+        return t.select("subj", "pred", "obj_kind", "obj_value",
+                        "obj_dt", "obj_lang")
 
+    def _fused_agg(self, shape: Shape, arcs: DataFrame,
+                   conf: dict[str, DataFrame],
+                   props: list[PropertyConstraint],
+                   reports: list[DataFrame],
+                   group_cols: list,
+                   extra_aggs: tuple = (),
+                   focus_flag: str | None = None) -> tuple[DataFrame, Column]:
+        """Shared fused-aggregate builder: conditional aggregates + ok
+        expression + report pieces over an arc relation that carries
+        f_* focus-term columns and pred/obj_* arc columns. Used by the
+        cand-join path (_eval_simple_props) and the one-pass target
+        fast path (_eval_shape_onepass). ``focus_flag`` (one-pass):
+        column in the grouped relation restricting card-reports to
+        focus rows."""
         refs: set[str] = set()
         classes: set[str] = set()
         for pc in props:
@@ -950,8 +973,10 @@ class ValidationEngine:
         # exchange still hashes one key set, and the term columns ride
         # through - letting a pure simple-pred shape use this aggregate
         # AS the conformance relation (no join-back onto cand).
-        grouped = arcs.groupBy(KEY, *FCOLS).agg(*aggs)
+        grouped = arcs.groupBy(*group_cols).agg(*aggs, *extra_aggs)
 
+        report_grouped = (grouped.filter(F.col(focus_flag))
+                          if focus_flag else grouped)
         ok = F.lit(True)
         if shape.closed:
             ok = ok & (F.col("__n_closed_bad") == 0)
@@ -969,8 +994,128 @@ class ValidationEngine:
                 c_ok = c_ok & (F.col(names["nlang"]) == F.col(names["ndlang"]))
             ok = ok & c_ok
             # cardinality / hasValue / uniqueLang report rows (per focus)
-            self._card_reports(reports, grouped, shape, pc, names)
-        return grouped.select(KEY, *FCOLS, ok.alias("__props_ok"))
+            self._card_reports(reports, report_grouped, shape, pc, names)
+        return grouped, ok
+
+    # -- one-pass target fast path -----------------------------------------
+
+    _FAST_TARGET_KINDS = frozenset(
+        {"targetSubjectsOf", "targetObjectsOf", "targetClass"})
+
+    def _fast_target_eligible(self, shape: Shape) -> bool:
+        """True when the shape's conformance can be computed in ONE
+        grouped pass over pred-filtered arcs + target-marker rows —
+        no focus distinct, no cand ⋈ arcs join (guide §2.4 'remove
+        shuffles outright'). Requires: every target derivable from a
+        predicate filter, and every constraint in the fused simple-pred
+        aggregate family. Refs are excluded by the caller (ref-free
+        schemas only)."""
+        return (bool(shape.targets)
+                and all(t.kind in self._FAST_TARGET_KINDS
+                        for t in shape.targets)
+                and not shape.deactivated
+                and not shape.node_constraints and not shape.one_of
+                and not shape.group_blocks and not shape.repeat_alts
+                and all(pc.path.is_simple_pred
+                        and not (pc.equals or pc.disjoint or pc.less_than
+                                 or pc.less_than_or_equals)
+                        for pc in shape.properties))
+
+    @property
+    def _has_subclass(self) -> bool:
+        """Does the graph carry any rdfs:subClassOf arc? Decides
+        whether a targetClass marker can use the raw rdf:type filter
+        (the common case) or must go through the subClassOf* closure.
+        One limit(1) probe, memoized per engine — the same scan
+        class_membership pays on first use."""
+        if getattr(self, "_has_subclass_memo", None) is None:
+            from .model import RDFS
+
+            self._has_subclass_memo = not self.triples.filter(
+                (F.col("pred") == RDFS + "subClassOf")
+                & (F.col("obj_kind") == "iri")).limit(1).isEmpty()
+        return self._has_subclass_memo
+
+    def _target_markers(self, shape: Shape) -> DataFrame:
+        """Focus-term marker rows (f_kind, f_value, f_dt, f_lang) for
+        the one-pass fast path — one pred-filter projection per target,
+        NOT deduplicated (the grouped max-flag dedupes for free)."""
+        t = self.triples
+        null_s = F.lit(None).cast("string")
+
+        def _subj_rows(sel: DataFrame, col: str) -> DataFrame:
+            c = F.col(col)
+            kind = F.when(c.startswith("_:"), F.lit("bnode")) \
+                .otherwise(F.lit("iri"))
+            return sel.select(kind.alias("f_kind"), c.alias("f_value"),
+                              null_s.alias("f_dt"), null_s.alias("f_lang"))
+
+        pieces: list[DataFrame] = []
+        for tgt in shape.targets:
+            if tgt.kind == "targetSubjectsOf":
+                pieces.append(_subj_rows(
+                    t.filter(F.col("pred") == tgt.value), "subj"))
+            elif tgt.kind == "targetClass":
+                if self._has_subclass:
+                    pieces.append(_subj_rows(
+                        self._type_arcs.filter(F.col("cls") == tgt.value),
+                        "inst"))
+                else:
+                    pieces.append(_subj_rows(
+                        t.filter((F.col("pred") == RDF_TYPE)
+                                 & (F.col("obj_kind") == "iri")
+                                 & (F.col("obj_value") == tgt.value)),
+                        "subj"))
+            else:  # targetObjectsOf — objects may be full literal terms
+                pieces.append(
+                    t.filter(F.col("pred") == tgt.value)
+                    .select(F.col("obj_kind").alias("f_kind"),
+                            F.col("obj_value").alias("f_value"),
+                            F.col("obj_dt").alias("f_dt"),
+                            F.col("obj_lang").alias("f_lang")))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _eval_shape_onepass(self, shape: Shape,
+                            conf: dict[str, DataFrame]
+                            ) -> tuple[DataFrame, list[DataFrame]]:
+        """Conformance for a _fast_target_eligible shape in ONE grouped
+        pass: union(pred-filtered constraint arcs keyed by subject,
+        target marker rows keyed by focus term) → one groupBy(term) →
+        filter(is-focus). Replaces [target scan + focus distinct +
+        cand ⋈ arcs join + groupBy] with [scan-union + groupBy]: at any
+        scale this removes two shuffles of data-sized relations and the
+        join; the aggregate/report semantics are byte-identical to the
+        cand-join path (same _fused_agg)."""
+        reports: list[DataFrame] = []
+        props = list(shape.properties)
+        ts = self._constraint_arcs(shape, props)
+        null_s = F.lit(None).cast("string")
+        subj_kind = F.when(F.col("subj").startswith("_:"), F.lit("bnode")) \
+            .otherwise(F.lit("iri"))
+        arc_rows = ts.select(
+            subj_kind.alias("f_kind"), F.col("subj").alias("f_value"),
+            null_s.alias("f_dt"), null_s.alias("f_lang"),
+            "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang",
+            F.lit(False).alias("__tgt"))
+        markers = self._target_markers(shape).select(
+            "f_kind", "f_value", "f_dt", "f_lang",
+            null_s.alias("pred"), null_s.alias("obj_kind"),
+            null_s.alias("obj_value"), null_s.alias("obj_dt"),
+            null_s.alias("obj_lang"), F.lit(True).alias("__tgt"))
+        arcs = arc_rows.unionByName(markers).withColumn(
+            KEY, node_key_col(F.col("f_kind"), F.col("f_value"),
+                              F.col("f_dt"), F.col("f_lang")))
+        grouped, ok = self._fused_agg(
+            shape, arcs, conf, props, reports,
+            group_cols=[KEY, *FCOLS],
+            extra_aggs=(F.max("__tgt").alias("__is_focus"),),
+            focus_flag="__is_focus")
+        out = grouped.filter(F.col("__is_focus")) \
+            .select(KEY, *FCOLS, ok.alias("conforms"))
+        return out, reports
 
     def _card_reports(self, reports: list[DataFrame], grouped: DataFrame,
                       shape: Shape, pc: PropertyConstraint, names: dict) -> None:
@@ -1365,7 +1510,8 @@ class ValidationEngine:
 
     def validate(self, focus: DataFrame,
                  full_terms: bool = False,
-                 with_status: bool = False) -> ValidationResult:
+                 with_status: bool = False,
+                 targets_native: bool = False) -> ValidationResult:
         """full_terms=True adds node_kind/node_dt/node_lang columns to
         the conformance relation — needed when literal focus terms can
         share a lexical value but differ in datatype/language (the ShEx
@@ -1378,8 +1524,17 @@ class ValidationEngine:
         fixpoints (i.e. decided only by the co-inductive starting
         assumption) surface as 'unknown' instead of silently adopting
         the co-inductive answer. The boolean ``conforms`` stays the
-        greatest-fixpoint verdict for backward compatibility."""
+        greatest-fixpoint verdict for backward compatibility.
+
+        targets_native=True asserts that ``focus`` is EXACTLY the
+        unfiltered target_focus(...) of this schema over these triples
+        — enabling the one-pass target fast path for eligible shapes
+        (callers that filter/subset the focus must leave it False)."""
         ref_free = not self._ref_edges()
+        fast_lbls: set[str] = set()
+        if ref_free and targets_native:
+            fast_lbls = {lbl for lbl, sh in self.schema.shapes.items()
+                         if self._fast_target_eligible(sh)}
         if ref_free:
             # no shape references: every candidate comes straight from
             # the focus relation, so ONE shared cache over the focus
@@ -1390,9 +1545,16 @@ class ValidationEngine:
             # cache. At 2M-conv bench scale this removes two full
             # focus recomputations from the conformance job's critical
             # path (Amdahl serial term, BASELINE.md round-5 notes).
-            base = self._maybe_persist(focus_to_candidates(focus))
-            cands = {lbl: base.filter(F.col("shape") == lbl).drop("shape")
-                     for lbl in self.schema.shapes}
+            slow_lbls = [lbl for lbl in self.schema.shapes
+                         if lbl not in fast_lbls]
+            if slow_lbls:
+                focus_slow = (focus if not fast_lbls else
+                              focus.filter(F.col("shape").isin(slow_lbls)))
+                base = self._maybe_persist(focus_to_candidates(focus_slow))
+                cands = {lbl: base.filter(F.col("shape") == lbl).drop("shape")
+                         for lbl in slow_lbls}
+            else:
+                cands = {}
         else:
             cands = self._propagate_candidates(focus)
             # candidate sets are reused by every constraint sub-plan of
@@ -1407,6 +1569,14 @@ class ValidationEngine:
         for scc in self.schema.strata():
             if not self.schema.is_recursive(scc):
                 lbl = scc[0]
+                if lbl in fast_lbls:
+                    # one-pass target fast path: no cand relation, no
+                    # persist (ref-free ⇒ conformance is consumed once)
+                    c, reps = self._eval_shape_onepass(
+                        self.schema.shapes[lbl], conf)
+                    conf[lbl] = c
+                    all_reports.extend(reps)
+                    continue
                 c, reps = self._evaluate_shape(self.schema.shapes[lbl], cands[lbl], conf)
                 # lazy persist: materialized on first action, reused by
                 # every ref join — no eager driver-side job per shape
