@@ -235,13 +235,26 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     callers should pass ``shingles`` (a persisted shingle_table) and
     own its release; when omitted, the persist created here lives
     until the session drops it (acceptable for one-shot jobs)."""
-    sh = shingles if shingles is not None else \
+    sh_str = shingles if shingles is not None else \
         shingle_table(docs, id_col, text_col, shingle_k).persist()
+    # PERF (r6): candidate generation + exact verification run on
+    # xxhash64-hashed shingles — the doc-frequency groupBy, the window
+    # sort, the token self-join and the per-pair array_intersect all
+    # move 8-byte longs instead of ~20-byte shingle strings (measured
+    # 2.35s -> 1.67s warm at sf0.1, output multiset-identical). The
+    # prefix-filter guarantee holds under ANY consistent total order on
+    # tokens, so ordering by (df, hash) instead of (df, string) keeps
+    # recall 1.0; Jaccard over hashed sets equals string Jaccard unless
+    # xxhash64 collides within one candidate pair's union (~1e-13 at
+    # corpus scale — the same collision budget every minhash stage here
+    # already accepts).
+    sh = sh_str.select("i",
+                       F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
     if candidates == "prefix":
         cands = prefix_filter_candidates(sh, threshold)
     else:
         cands = lsh_candidates(docs, id_col, text_col, n_bands,
-                               rows_per_band, shingle_k, shingles=sh)
+                               rows_per_band, shingle_k, shingles=sh_str)
     # EXACT-safe size prefilter BEFORE any array is shuffled:
     # J(A,B) ≥ t requires |A∩B| ≥ t·|A∪B| and |A∩B| ≤ min(|A|,|B|),
     # |A∪B| ≥ max(|A|,|B|) ⇒ min ≥ t·max. r=1 banding floods the

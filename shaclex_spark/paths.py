@@ -88,8 +88,16 @@ def identity_pairs(srcs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def path_pairs(triples: DataFrame, path: Path, srcs: DataFrame | None = None) -> DataFrame:
-    """Compile a path to its (src, value) pair DataFrame."""
+def path_pairs(triples: DataFrame, path: Path, srcs: DataFrame | None = None,
+               dedup: bool = True) -> DataFrame:
+    """Compile a path to its (src, value) pair DataFrame.
+
+    dedup=False skips the final set-dedup for sequence/alternative
+    paths (r6 perf): callers that immediately aggregate with
+    multiplicity-insensitive thresholds (exists / none — minCount ≤ 1,
+    no maxCount) or re-dedup themselves save one full exchange of the
+    pair relation. Closure paths always dedup (convergence needs set
+    semantics)."""
     if path.kind == "self":
         if srcs is None:
             raise ValueError("self path requires a bounded source set")
@@ -130,13 +138,13 @@ def path_pairs(triples: DataFrame, path: Path, srcs: DataFrame | None = None) ->
             cur = (cur_mid
                    .join(nxt.withColumnRenamed("src", "mid"), on="mid")
                    .select(*PAIR_COLS))
-        return cur.distinct()
+        return cur.distinct() if dedup else cur
     if path.kind == "alternative":
         parts = [path_pairs(triples, s, srcs) for s in path.steps]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.distinct()
+        return out.distinct() if dedup else out
     if path.kind == "zeroOrOne":
         if srcs is None:
             raise ValueError("zeroOrOne path requires a bounded source set")

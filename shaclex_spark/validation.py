@@ -549,7 +549,8 @@ class ValidationEngine:
             return fa.select(KEY, *FCOLS)
         srcs = fa.filter(F.col("f_kind") != "literal") \
                  .select(F.col("f_value").alias("n"))
-        pairs = path_pairs(self.triples, pc.path, srcs)
+        # dedup=False: every consumer dropDuplicates([KEY]) right after
+        pairs = path_pairs(self.triples, pc.path, srcs, dedup=False)
         return pairs.select(
             F.col("v_kind").alias("f_kind"),
             F.col("v_value").alias("f_value"),
@@ -676,6 +677,11 @@ class ValidationEngine:
             return cand.withColumn("conforms", F.lit(True)), reports
 
         ok_flags: list[tuple[str, DataFrame]] = []  # (flag column name, keyed DF)
+        # flag name → DF that ALREADY carries (KEY, *FCOLS, flag): when a
+        # shape has exactly one such flag, it IS the conformance relation
+        # and the join-back onto cand is skipped (one exchange + join off
+        # the critical path — r6, guide §2.4)
+        full_flags: dict[str, DataFrame] = {}
         agg_df: DataFrame | None = None  # fused simple-pred aggregate
 
         # ---- 1. focus-level node constraints -----------------------------
@@ -697,6 +703,7 @@ class ValidationEngine:
             for _, c in conjuncts[1:]:
                 ok_all = ok_all & c
             node_conf = df.select(KEY, *FCOLS, ok_all.alias("__self_ok"))
+            full_flags["__self_ok"] = node_conf
             # report rows per failing conjunct
             for cj, col in conjuncts:
                 comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
@@ -741,7 +748,8 @@ class ValidationEngine:
         for i, pc in enumerate(complexp):
             flag = f"__cpath_{i}_ok"
             dfp = self._eval_one_property(shape, cand, conf, pc, flag, reports)
-            ok_flags.append((flag, dfp))
+            full_flags[flag] = dfp
+            ok_flags.append((flag, dfp.select(KEY, flag)))
 
         # ShEx OneOf: evaluate each group independently (inner reports
         # discarded — the OneOf reports as a whole), then exactly-one.
@@ -820,9 +828,19 @@ class ValidationEngine:
             if pc.equals or pc.disjoint or pc.less_than or pc.less_than_or_equals:
                 flag = f"__pair_{i}_ok"
                 dfp = self._eval_pairwise(shape, cand, pc, flag, reports)
-                ok_flags.append((flag, dfp))
+                full_flags[flag] = dfp
+                ok_flags.append((flag, dfp.select(KEY, flag)))
 
         # ---- 3. combine -----------------------------------------------------
+        if len(ok_flags) == 1 and ok_flags[0][0] in full_flags:
+            # single-flag shape whose flag relation was built FROM cand
+            # (one row per candidate, full term columns): it IS the
+            # conformance relation — skip the join-back onto cand.
+            flag = ok_flags[0][0]
+            out = full_flags[flag].select(
+                KEY, *FCOLS,
+                F.coalesce(F.col(flag), F.lit(True)).alias("conforms"))
+            return out, reports
         out = cand
         final_ok = F.lit(True)
         for flag, dfk in ok_flags:
@@ -1342,12 +1360,22 @@ class ValidationEngine:
                            flag: str, reports: list[DataFrame]) -> DataFrame:
         srcs = cand.filter(F.col("f_kind") != "literal") \
                    .select(F.col("f_value").alias("n"))
-        pairs = path_pairs(self.triples, pc.path, srcs)
+        # Multiplicity-insensitive thresholds (minCount ≤ 1, no
+        # maxCount: the aggregate only tests exists / none) let the
+        # aggregate run on NON-deduped pairs — one exchange less on the
+        # critical path (r6, guide §2.4). Reports keep set semantics
+        # via an explicit dedup on their own (lazy) branch.
+        dedup_free = pc.min_count <= 1 and pc.max_count is None
+        pairs = path_pairs(self.triples, pc.path, srcs,
+                           dedup=not dedup_free)
         refs = _collect_refs(pc.node)
         classes = _collect_classes(pc.node)
         pairs, ref_cols, cls_cols = self._join_term_bools(
             pairs, "v_", refs, classes, conf)
         tc = self._term_cols("v_", ref_cols, cls_cols)
+        report_pairs = (pairs.dropDuplicates(["src", "v_kind", "v_value",
+                                              "v_dt", "v_lang"])
+                        if dedup_free else pairs)
         conjs = _top_conjuncts(pc.node)
         per_value = [c for c in conjs if c.kind != "hasValue"]
         existential = [c for c in conjs if c.kind == "hasValue"]
@@ -1360,7 +1388,7 @@ class ValidationEngine:
                 continue
             col = compile_expr(cj, tc)
             comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
-            reports.append(pairs.filter(~col).select(
+            reports.append(report_pairs.filter(~col).select(
                 F.col("src").alias("focus_node"),
                 F.lit(shape.label).alias("source_shape"),
                 F.lit(comp).alias("component"),
@@ -1407,7 +1435,7 @@ class ValidationEngine:
             *has_cols,
         )
         self._card_reports(reports, grouped_for_reports, shape, pc, names)
-        return joined.select(KEY, ok.alias(flag))
+        return joined.select(KEY, *FCOLS, ok.alias(flag))
 
     # -- pairwise sibling-path constraints ------------------------------------
 
@@ -1466,7 +1494,9 @@ class ValidationEngine:
         ))
         bad_srcs = viol_vals.select("src").distinct().withColumn("__pair_bad", F.lit(True))
         joined = cand.join(bad_srcs, on=cand["f_value"] == bad_srcs["src"], how="left")
-        return joined.select(KEY, (~F.coalesce(F.col("__pair_bad"), F.lit(False))).alias(flag))
+        return joined.select(
+            KEY, *FCOLS,
+            (~F.coalesce(F.col("__pair_bad"), F.lit(False))).alias(flag))
 
     # -- public entry ---------------------------------------------------------
 
