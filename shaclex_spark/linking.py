@@ -261,10 +261,19 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         # short-circuits the count at the threshold.
         n_verts_capped = v.limit(driver_threshold + 1).count()
         if n_verts_capped <= driver_threshold:
-            pairs = [(r["u"], r["v"]) for r in e.collect()]
-            verts = [r["node"] for r in v.collect()]
+            # Arrow transfers (r6): toPandas moves the edge/vertex
+            # relations as columnar batches — the row-at-a-time
+            # collect() cost several seconds of py4j serialization at
+            # the 500k-edge threshold.
+            import pandas as pd
+
+            epdf = e.toPandas()
+            pairs = list(zip(epdf["u"], epdf["v"]))
+            verts = v.toPandas()["node"].tolist()
             labels = spark.createDataFrame(
-                _driver_union_find(pairs, verts), "node string, comp string")
+                pd.DataFrame(_driver_union_find(pairs, verts),
+                             columns=["node", "comp"]),
+                "node string, comp string")
             return (labels, rounds) if return_rounds else labels
     # order-independent edge-set fingerprint: one tiny agg per round
     # (ANSI-safe bit_xor, no overflow) — convergence = fingerprint+count
@@ -404,7 +413,7 @@ def link_mentions(mentions: DataFrame,
     # barriers, each fixed stage-launch latency in Amdahl's serial
     # term); when it is not, we fall through to the distributed path
     # having shipped at most 100_001 short strings.
-    head = mentions.limit(100_001).collect()
+    head = mentions.limit(100_001).toPandas()["mention"]
     if len(head) <= 100_000:
         # small-vocabulary fast path (bounded mention population): pull
         # the mention strings once and run the SAME blocking pipeline
@@ -413,7 +422,7 @@ def link_mentions(mentions: DataFrame,
         # identical (exact verify); recall is equivalent (same band/row
         # geometry). One collect instead of ~7 eager Spark barriers,
         # each of which lands in Amdahl's serial term on a local run.
-        rows = [r["mention"] for r in head]
+        rows = head.tolist()
         comp_rows = _driver_link(rows, threshold)
         pairs_list = [(mention_prefix + n, entity_prefix + c)
                       for n, c in comp_rows]

@@ -1042,7 +1042,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _release_previous_caches()
     docs = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3)
+    from .functions.dedup import shingle_table
+
+    # shingle cache registered for release by the next registry query
+    # (the implicit in-function persist leaked until session end)
+    sh = shingle_table(docs, "doc_id", "text", 3).persist()
+    _LIVE_CACHES.append(sh)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3,
+                                shingles=sh)
     # CC operates on strings; zero-pad so lexicographic min == numeric
     # min (doc_ids are non-negative and < 10^12)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
