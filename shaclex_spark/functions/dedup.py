@@ -177,19 +177,27 @@ def prefix_filter_candidates(sh: DataFrame,
     token rarity instead of luck.
 
     Shuffles: one groupBy(shingle) for document frequencies, one
-    window sort per doc, one token self-join. All codegen'd."""
+    window sort per doc, one token self-join. All codegen'd.
+
+    PERF (r6, guide §2.4/§5): (a) the per-doc set size rides in from
+    F.size on the pre-explode array instead of a second count window
+    (same exchange, one window pass less); (b) the ranked-prefix
+    relation is materialized ONCE (lazy localCheckpoint) — it feeds
+    BOTH sides of the token self-join, and without the barrier the
+    whole explode → doc-frequency join → window pipeline executed
+    twice, once per join side (the broadcast side rebuilt it from
+    scratch in the round-start plan)."""
     from pyspark.sql import Window
 
-    tok = sh.select("i", F.explode("sh").alias("s"))
+    tok = sh.select("i", F.size("sh").alias("__sz"),
+                    F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("i").orderBy("__df", "s")
     ranked = (tok.join(dfreq, on="s")
-              .withColumn("__rk", F.row_number().over(w))
-              .withColumn("__sz", F.count("*").over(
-                  Window.partitionBy("i"))))
+              .withColumn("__rk", F.row_number().over(w)))
     prefix = ranked.filter(
         F.col("__rk") <= F.col("__sz") - F.ceil(threshold * F.col("__sz"))
-        + 1).select("i", "s", "__rk", "__sz")
+        + 1).select("i", "s", "__rk", "__sz").localCheckpoint(eager=False)
     left = prefix.select(F.col("s"), F.col("i").alias("a"),
                          F.col("__rk").alias("__ra"),
                          F.col("__sz").alias("__sa"))
@@ -207,12 +215,16 @@ def prefix_filter_candidates(sh: DataFrame,
                * (F.col("__sa") + F.col("__sb")))
     ubound = F.least(F.col("__sa") - F.col("__ra"),
                      F.col("__sb") - F.col("__rb")) + 1
+    # sizes ride along (functionally dependent on (a, b), so the
+    # distinct keeps its cardinality): the caller's exact-verify join
+    # needs them and would otherwise re-join the size relation twice
     return (left.join(right, on="s")
             .filter((F.col("a") < F.col("b"))
                     & (F.least("__sa", "__sb").cast("double")
                        >= threshold * F.greatest("__sa", "__sb"))
                     & (ubound >= o))
-            .select("a", "b").distinct())
+            .select("a", "b", F.col("__sa").alias("sza"),
+                    F.col("__sb").alias("szb")).distinct())
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
@@ -251,24 +263,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     sh = sh_str.select("i",
                        F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
     if candidates == "prefix":
+        # sizes + the length filter come out of the prefix join itself
         cands = prefix_filter_candidates(sh, threshold)
     else:
         cands = lsh_candidates(docs, id_col, text_col, n_bands,
                                rows_per_band, shingle_k, shingles=sh_str)
-    # EXACT-safe size prefilter BEFORE any array is shuffled:
-    # J(A,B) ≥ t requires |A∩B| ≥ t·|A∪B| and |A∩B| ≤ min(|A|,|B|),
-    # |A∪B| ≥ max(|A|,|B|) ⇒ min ≥ t·max. r=1 banding floods the
-    # candidate set with low-J pairs (anything sharing one minhash);
-    # pruning on two ints avoids carrying both shingle arrays through
-    # the join for pairs that cannot clear the threshold.
-    sizes = sh.select("i", F.size("sh").alias("sz"))
-    cands = (cands
-             .join(sizes.select(F.col("i").alias("a"),
-                                F.col("sz").alias("sza")), on="a")
-             .join(sizes.select(F.col("i").alias("b"),
-                                F.col("sz").alias("szb")), on="b")
-             .filter(F.least("sza", "szb").cast("double")
-                     >= threshold * F.greatest("sza", "szb")))
+        # EXACT-safe size prefilter BEFORE any array is shuffled:
+        # J(A,B) ≥ t requires |A∩B| ≥ t·|A∪B| and |A∩B| ≤ min(|A|,|B|),
+        # |A∪B| ≥ max(|A|,|B|) ⇒ min ≥ t·max. r=1 banding floods the
+        # candidate set with low-J pairs (anything sharing one minhash);
+        # pruning on two ints avoids carrying both shingle arrays through
+        # the join for pairs that cannot clear the threshold.
+        sizes = sh.select("i", F.size("sh").alias("sz"))
+        cands = (cands
+                 .join(sizes.select(F.col("i").alias("a"),
+                                    F.col("sz").alias("sza")), on="a")
+                 .join(sizes.select(F.col("i").alias("b"),
+                                    F.col("sz").alias("szb")), on="b")
+                 .filter(F.least("sza", "szb").cast("double")
+                         >= threshold * F.greatest("sza", "szb")))
     a = sh.select(F.col("i").alias("a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("i").alias("b"), F.col("sh").alias("shb"))
     joined = cands.join(a, on="a").join(b, on="b")

@@ -59,19 +59,30 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
     """
     nodes = focus_nodes.select(
         F.col(focus_nodes.columns[0]).alias("node")).distinct()
-    n_focus = nodes.count()
 
     arcs = nodes.join(triples, on=nodes["node"] == triples["subj"]).drop("subj")
 
+    # PERF (r6, guide §2.3/§1.2): the lattice aggregation is pure long
+    # counters — no countDistinct, no min over a string column. The old
+    # form computed n_dts = countDistinct(dt) + one_dt = min(dt) inside
+    # the per-(node,pred) aggregate: the distinct forced an Expand
+    # (doubling every arc row through the shuffle) and the string-typed
+    # min buffer disqualified HashAggregate, so BOTH aggregation levels
+    # ran as sort-based cascades (6 SortAggregates + 4 Exchanges over
+    # the full arc relation). Datatype statistics factor out exactly:
+    #   (t_dts == 1 AND max_node_dts <= 1)  ⇔  the predicate's literal
+    # arcs carry exactly ONE distinct non-null datatype globally (if the
+    # global set is a single dt, every node's set is a subset of it; if
+    # it has two, either some node mixes them — max_node_dts ≥ 2 — or
+    # two nodes' minima differ — t_dts ≥ 2), and the reported dt is
+    # that single value either way. So the dt branch becomes its own
+    # projection-first aggregate over (pred, dt) distinct pairs — a few
+    # bytes per arc through the exchange instead of Expand-doubled rows.
     per_node = arcs.groupBy("node", "pred").agg(
         F.count("*").alias("cnt"),
         F.count(F.when(F.col("obj_kind") == "iri", 1)).alias("n_iri"),
         F.count(F.when(F.col("obj_kind") == "bnode", 1)).alias("n_bnode"),
         F.count(F.when(F.col("obj_kind") == "literal", 1)).alias("n_lit"),
-        F.countDistinct(F.when(F.col("obj_kind") == "literal",
-                               F.col("obj_dt"))).alias("n_dts"),
-        F.min(F.when(F.col("obj_kind") == "literal",
-                     F.col("obj_dt"))).alias("one_dt"),
     )
 
     shape = per_node.groupBy("pred").agg(
@@ -82,24 +93,36 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
         F.sum("n_iri").alias("t_iri"),
         F.sum("n_bnode").alias("t_bnode"),
         F.sum("n_lit").alias("t_lit"),
-        F.countDistinct("one_dt").alias("t_dts"),
-        F.min("one_dt").alias("t_one_dt"),
-        F.max("n_dts").alias("max_node_dts"),
     )
+
+    dt_stats = (arcs.filter((F.col("obj_kind") == "literal")
+                            & F.col("obj_dt").isNotNull())
+                .select("pred", "obj_dt").distinct()
+                .groupBy("pred")
+                .agg(F.count("*").alias("g_dts"),
+                     F.min("obj_dt").alias("g_one_dt")))
+    shape = shape.join(dt_stats, on="pred", how="left")
+
+    # focus population as a 1-row broadcast instead of an eager
+    # nodes.count() driver barrier (guide §5: the driver does no data
+    # work; every removed action is serial-term latency off the job)
+    n_focus_df = nodes.agg(F.count("*").alias("__n_focus"))
+    shape = shape.crossJoin(F.broadcast(n_focus_df))
 
     total = F.col("t_iri") + F.col("t_bnode") + F.col("t_lit")
     constraint = (
         F.when(F.col("t_iri") == total, F.lit("IRI"))
         .when(F.col("t_bnode") == total, F.lit("BNode"))
-        .when((F.col("t_lit") == total) & (F.col("t_dts") == 1)
-              & (F.col("max_node_dts") <= 1), F.col("t_one_dt"))
+        .when((F.col("t_lit") == total)
+              & (F.coalesce(F.col("g_dts"), F.lit(0)) == 1),
+              F.col("g_one_dt"))
         .when(F.col("t_lit") == total, F.lit("Literal"))
         .otherwise(F.lit("Any"))
     )
     # cardinality rule: every focus node has exactly one ⇒ {1,1};
     # otherwise {0,*} (missing nodes count 0 ⇒ min_card 0)
-    exactly_one = (F.col("n_nodes") == n_focus) & (F.col("min_cnt") == 1) \
-        & (F.col("max_cnt") == 1)
+    exactly_one = (F.col("n_nodes") == F.col("__n_focus")) \
+        & (F.col("min_cnt") == 1) & (F.col("max_cnt") == 1)
     return shape.select(
         F.lit(label).alias("shape"),
         F.col("pred"),

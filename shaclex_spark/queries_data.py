@@ -30,6 +30,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+from .session import spread_scan as _spread  # noqa: E402
+
+
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _spread(_read(spark, sf_dir, name))
+
+
 TOKEN_RE_SQL = TOKEN_RE.replace("\\", "\\")  # same syntax in both engines
 
 # ---------------------------------------------------------------------------
@@ -68,7 +75,7 @@ SELECT doc_id,
 FROM toks
 """)
 def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_profile(_read(spark, sf_dir, "documents"))
+    return text_profile(_read_spread(spark, sf_dir, "documents"))
 
 
 @query("txt_langid", oracle=r"""
@@ -94,7 +101,7 @@ SELECT doc_id,
 FROM scores
 """)
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(_read(spark, sf_dir, "documents"))
+    return lang_id(_read_spread(spark, sf_dir, "documents"))
 
 
 @query("txt_simhash", oracle=r"""
@@ -116,7 +123,7 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """)
 def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_md5_profile(_read(spark, sf_dir, "documents"))
+    return simhash_md5_profile(_read_spread(spark, sf_dir, "documents"))
 
 
 @query("txt_winnow", oracle=rf"""
@@ -148,7 +155,7 @@ def txt_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     1:1 (DuckDB is 1-based where the Spark posexplode is 0-based)."""
     from .functions.text import winnow_fingerprints
 
-    return winnow_fingerprints(_read(spark, sf_dir, "documents"),
+    return winnow_fingerprints(_read_spread(spark, sf_dir, "documents"),
                                k=4, w=4)
 
 
@@ -200,7 +207,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _LIVE_CACHES, _release_previous_caches
 
     _release_previous_caches()
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
     _LIVE_CACHES.append(sh)  # released by the next registry query
     return ngram_jaccard_pairs(docs, threshold=0.4, shingle_k=3,
@@ -262,7 +269,7 @@ def data_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension joins on doc_id — at scale the profile/lang columns
     fuse into the same scan (all derive from `text`) and only the
     dedup canonical join shuffles (on the md5 hash)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     prof = text_profile(docs).select("doc_id", "quality")
     lang = lang_id(docs).select("doc_id", "lang_pred")
     canon = exact_dedup(docs).select("doc_id", "canonical_id")
@@ -311,7 +318,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _LIVE_CACHES, _release_previous_caches
 
     _release_previous_caches()
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
     _LIVE_CACHES.append(sh)
     truth = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3,
@@ -340,7 +347,7 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate compares REAL rows at every test SF (the synthetic
     embeddings' max same-label cosine is ~0.45-0.51; at 0.8 both sides
     were empty and the hash match was vacuous — round-3 judge item)."""
-    return embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"),
+    return embedding_neardup_pairs(_read_spread(spark, sf_dir, "embeddings"),
                                    threshold=0.3, block_col="label")
 
 
@@ -366,7 +373,7 @@ SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
 FROM scored WHERE rank <= 5
 """)
 def emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(_read(spark, sf_dir, "embeddings"),
+    return cosine_topk(_read_spread(spark, sf_dir, "embeddings"),
                        query_ids=list(range(8)), k=5)
 
 
@@ -394,7 +401,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the boolean and fails the hash). Measured recall on this
     corpus: 1.0 (8-plane × 8-table, Hamming≤2 probes — the
     high-recall corner pinned by test_ann_recall)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     qids = list(range(8))
     exact = cosine_topk(emb, query_ids=qids, k=5) \
         .select("query_id", "neighbor_id")
@@ -439,7 +446,7 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.9 (test_ivf_ann_recall_clustered)."""
     from .functions.similarity import ann_ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     qids = list(range(8))
     exact = cosine_topk(emb, query_ids=qids, k=5) \
         .select("query_id", "neighbor_id")
@@ -476,7 +483,7 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize payloads, Arrow-batched
     'decode' stub extracts metadata. Texts are ASCII so byte length ==
     char length, letting the oracle run on the text column."""
-    return decode_media_meta(synth_media(_read(spark, sf_dir, "documents")))
+    return decode_media_meta(synth_media(_read_spread(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +681,7 @@ def trx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .extraction import extract_triples
 
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read_spread(spark, sf_dir, "orders")
     customer = _read(spark, sf_dir, "customer")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     trx = (orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
@@ -722,7 +729,7 @@ def txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, zero shuffles — the 100-TB filter-pass shape."""
     from .functions.text import gopher_quality
 
-    return gopher_quality(_read(spark, sf_dir, "documents"))
+    return gopher_quality(_read_spread(spark, sf_dir, "documents"))
 
 
 @query("txt_repetition", oracle=rf"""
@@ -764,7 +771,7 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard explode + fused double-groupBy plan."""
     from .functions.text import repetition_profile
 
-    return repetition_profile(_read(spark, sf_dir, "documents"))
+    return repetition_profile(_read_spread(spark, sf_dir, "documents"))
 
 
 @query("data_pack", oracle=rf"""
@@ -797,7 +804,7 @@ def data_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.packing import pack_sequences
     from .functions.text import token_count
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     with_len = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
     return pack_sequences(with_len, capacity=256, n_groups=8)
@@ -874,7 +881,7 @@ def data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1)."""
     from .functions.dedup import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return decontaminate(docs.filter(F.col("doc_id") % 97 != 0),
                          docs.filter(F.col("doc_id") % 97 == 0),
                          shingle_k=5)
@@ -985,7 +992,7 @@ def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import token_budget_sample
     from .functions.text import token_count
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", "lang",
         token_count(F.col("text")).cast("long").alias("tokens"))
@@ -1041,7 +1048,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import _LIVE_CACHES, _release_previous_caches
 
     _release_previous_caches()
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     from .functions.dedup import shingle_table
 
     # shingle cache registered for release by the next registry query

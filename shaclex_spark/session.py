@@ -75,3 +75,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_scan(df):
+    """Scale-adaptive scan re-spread (guide §2.5 'input skew: one huge
+    unsplittable file ... repartition immediately after the read').
+
+    The local fixture tables are single-row-group parquet files, so a
+    scan is ONE split and everything before the first exchange —
+    tokenization HOFs, regex scans, Arrow/pandas batches, vector math —
+    runs serially on one core while the rest idle (measured:
+    txt_profile spent its entire 0.89 s in one task at sf0.1 on
+    local[32]). A production table arrives as many files/row groups,
+    where this is a no-op: it only repartitions when the scan has
+    fewer than half a partition per core. The round-robin exchange
+    moves the table once — strictly cheaper than leaving (cores - 1)
+    of the machine idle for the whole first stage whenever per-row
+    work dominates the payload move; operators whose first stage is a
+    trivial projection (pii scrub, stratified sample, event windows)
+    deliberately do not use it."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= cores:
+        return df
+    return df.repartition(cores)

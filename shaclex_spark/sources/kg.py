@@ -59,10 +59,16 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the demo KG triples DF. Customers with negative acctbal
     and customers without orders exist in the data — these become the
     natural constraint violations the oracle queries check."""
-    customer = read(spark, sf_dir, "customer")
+    # fact-table scans re-spread (guide §2.5): the fixture parquet is
+    # one row group per table, so the generate/concat pass under each
+    # union branch ran as ONE task (orders: 600k triples built
+    # serially). The helper is a no-op at production file layouts.
+    from ..session import spread_scan as _spread
+
+    customer = _spread(read(spark, sf_dir, "customer"))
     nation = read(spark, sf_dir, "nation")
     region = read(spark, sf_dir, "region")
-    orders = read(spark, sf_dir, "orders")
+    orders = _spread(read(spark, sf_dir, "orders"))
 
     c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey"))
     n_iri_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey"))

@@ -1028,16 +1028,37 @@ class ValidationEngine:
         predicate filter, and every constraint in the fused simple-pred
         aggregate family. Refs are excluded by the caller (ref-free
         schemas only)."""
-        return (bool(shape.targets)
-                and all(t.kind in self._FAST_TARGET_KINDS
-                        for t in shape.targets)
-                and not shape.deactivated
-                and not shape.node_constraints and not shape.one_of
-                and not shape.group_blocks and not shape.repeat_alts
+        return (self._fast_target_base(shape)
                 and all(pc.path.is_simple_pred
                         and not (pc.equals or pc.disjoint or pc.less_than
                                  or pc.less_than_or_equals)
                         for pc in shape.properties))
+
+    def _fast_target_base(self, shape: Shape) -> bool:
+        # closed shapes are EXCLUDED (r6): their constraint-arc relation
+        # is the UNFILTERED graph, and the one-pass union would shuffle
+        # every arc of every subject instead of only the focus set's —
+        # the cand-join path's left join restricts to candidates first,
+        # which is the 100-TB-safe shape for sh:closed.
+        return (bool(shape.targets)
+                and all(t.kind in self._FAST_TARGET_KINDS
+                        for t in shape.targets)
+                and not shape.deactivated and not shape.closed
+                and not shape.node_constraints and not shape.one_of
+                and not shape.group_blocks and not shape.repeat_alts)
+
+    def _fast_target_cpath_eligible(self, shape: Shape) -> bool:
+        """One-pass eligibility for a single COMPLEX-path shape
+        (sequence / inverse / alternative / closure paths): same target
+        conditions as the simple fast path, exactly one plain property
+        whose path is not a simple predicate."""
+        if not (self._fast_target_base(shape)
+                and len(shape.properties) == 1):
+            return False
+        pc = shape.properties[0]
+        return (not pc.path.is_simple_pred
+                and not (pc.equals or pc.disjoint or pc.less_than
+                         or pc.less_than_or_equals))
 
     @property
     def _has_subclass(self) -> bool:
@@ -1133,6 +1154,110 @@ class ValidationEngine:
             focus_flag="__is_focus")
         out = grouped.filter(F.col("__is_focus")) \
             .select(KEY, *FCOLS, ok.alias("conforms"))
+        return out, reports
+
+    def _eval_shape_onepass_cpath(self, shape: Shape,
+                                  conf: dict[str, DataFrame]
+                                  ) -> tuple[DataFrame, list[DataFrame]]:
+        """One-pass conformance for a single complex-path shape
+        (_fast_target_cpath_eligible): union(per-pair value-checked
+        rows keyed by source node, target-marker rows) → ONE
+        groupBy(term) → filter(is-focus). Replaces the generic path's
+        [target-union distinct + candidate distinct + persist +
+        groupBy(src) + cand ⋈ agg join-back (2 exchanges + SMJ)] with
+        [path pairs + one union-groupBy] (guide §2.4 — the same trick
+        _eval_shape_onepass plays for fused simple predicates). The
+        path computation itself keeps the focus semi-join restriction
+        (path_pairs srcs), so at scale the chain still only expands the
+        focus neighborhood. Aggregate semantics are identical to
+        _eval_one_property: zero-pair focus nodes group from their
+        marker row alone and count 0."""
+        reports: list[DataFrame] = []
+        pc = shape.properties[0]
+        markers = self._target_markers(shape)
+        srcs = markers.filter(F.col("f_kind") != "literal") \
+            .select(F.col("f_value").alias("n"))
+        dedup_free = pc.min_count <= 1 and pc.max_count is None
+        pairs = path_pairs(self.triples, pc.path, srcs,
+                           dedup=not dedup_free)
+        refs = _collect_refs(pc.node)
+        classes = _collect_classes(pc.node)
+        pairs, ref_cols, cls_cols = self._join_term_bools(
+            pairs, "v_", refs, classes, conf)
+        tc = self._term_cols("v_", ref_cols, cls_cols)
+        report_pairs = (pairs.dropDuplicates(["src", "v_kind", "v_value",
+                                              "v_dt", "v_lang"])
+                        if dedup_free else pairs)
+        conjs = _top_conjuncts(pc.node)
+        per_value = [c for c in conjs if c.kind != "hasValue"]
+        existential = [c for c in conjs if c.kind == "hasValue"]
+        v_ok = F.lit(True)
+        for c in per_value:
+            v_ok = v_ok & compile_expr(c, tc)
+        for cj in per_value:
+            if (pc.qualified or cj.kind == "true"
+                    or self._is_transparent_ref(cj)):
+                continue
+            col = compile_expr(cj, tc)
+            comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
+            reports.append(report_pairs.filter(~col).select(
+                F.col("src").alias("focus_node"),
+                F.lit(shape.label).alias("source_shape"),
+                F.lit(comp).alias("component"),
+                F.lit(pc.severity).alias("severity"),
+                F.col("v_value").alias("value"),
+                F.lit(pc.path.describe()).alias("path"),
+                F.lit(pc.message or shape.message).cast("string")
+                .alias("message"),
+            ))
+        null_s = F.lit(None).cast("string")
+        null_b = F.lit(None).cast("boolean")
+        src_kind = F.when(F.col("src").startswith("_:"), F.lit("bnode")) \
+            .otherwise(F.lit("iri"))
+        hit_names = [f"__hit_{j}" for j in range(len(existential))]
+        pair_rows = pairs.select(
+            src_kind.alias("f_kind"), F.col("src").alias("f_value"),
+            null_s.alias("f_dt"), null_s.alias("f_lang"),
+            v_ok.alias("__vok"),
+            *[_value_match(ex.values[0], tc).alias(nm)
+              for nm, ex in zip(hit_names, existential)],
+            F.lit(False).alias("__tgt"))
+        marker_rows = markers.select(
+            "f_kind", "f_value", "f_dt", "f_lang",
+            null_b.alias("__vok"),
+            *[null_b.alias(nm) for nm in hit_names],
+            F.lit(True).alias("__tgt"))
+        un = pair_rows.unionByName(marker_rows).withColumn(
+            KEY, node_key_col(F.col("f_kind"), F.col("f_value"),
+                              F.col("f_dt"), F.col("f_lang")))
+        is_pair = ~F.col("__tgt")
+        aggs = [
+            F.count(F.when(is_pair, F.lit(1))).alias("__n"),
+            F.count(F.when(is_pair & F.col("__vok"), F.lit(1)))
+            .alias("__ok_n"),
+            F.count(F.when(is_pair & ~F.col("__vok"), F.lit(1)))
+            .alias("__bad_n"),
+            F.max("__tgt").alias("__is_focus"),
+        ]
+        for nm in hit_names:
+            aggs.append(F.count(F.when(is_pair & F.col(nm), F.lit(1)))
+                        .alias(nm.replace("__hit_", "__has_")))
+        grouped = un.groupBy(KEY, *FCOLS).agg(*aggs)
+        focus_g = grouped.filter(F.col("__is_focus"))
+        card = F.col("__ok_n") if (pc.qualified or pc.exclusive) \
+            else F.col("__n")
+        ok = card >= pc.min_count
+        if pc.max_count is not None:
+            ok = ok & (card <= pc.max_count)
+        if not pc.qualified:
+            ok = ok & (F.col("__bad_n") == 0)
+        for j in range(len(existential)):
+            ok = ok & (F.col(f"__has_{j}") >= 1)
+        names = {"total": "__n", "ok": "__ok_n", "bad": "__bad_n"}
+        for j in range(len(existential)):
+            names[f"has_{j}"] = f"__has_{j}"
+        self._card_reports(reports, focus_g, shape, pc, names)
+        out = focus_g.select(KEY, *FCOLS, ok.alias("conforms"))
         return out, reports
 
     def _card_reports(self, reports: list[DataFrame], grouped: DataFrame,
@@ -1562,9 +1687,14 @@ class ValidationEngine:
         (callers that filter/subset the focus must leave it False)."""
         ref_free = not self._ref_edges()
         fast_lbls: set[str] = set()
+        cfast_lbls: set[str] = set()
         if ref_free and targets_native:
             fast_lbls = {lbl for lbl, sh in self.schema.shapes.items()
                          if self._fast_target_eligible(sh)}
+            cfast_lbls = {lbl for lbl, sh in self.schema.shapes.items()
+                          if lbl not in fast_lbls
+                          and self._fast_target_cpath_eligible(sh)}
+            fast_lbls |= cfast_lbls
         if ref_free:
             # no shape references: every candidate comes straight from
             # the focus relation, so ONE shared cache over the focus
@@ -1602,8 +1732,10 @@ class ValidationEngine:
                 if lbl in fast_lbls:
                     # one-pass target fast path: no cand relation, no
                     # persist (ref-free ⇒ conformance is consumed once)
-                    c, reps = self._eval_shape_onepass(
-                        self.schema.shapes[lbl], conf)
+                    evaluator = (self._eval_shape_onepass_cpath
+                                 if lbl in cfast_lbls
+                                 else self._eval_shape_onepass)
+                    c, reps = evaluator(self.schema.shapes[lbl], conf)
                     conf[lbl] = c
                     all_reports.extend(reps)
                     continue
