@@ -282,6 +282,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                                     F.col("sz").alias("szb")), on="b")
                  .filter(F.least("sza", "szb").cast("double")
                          >= threshold * F.greatest("sza", "szb")))
+    # Pin the verify stage's parallelism (r6, guide §2.5): the
+    # candidate relation is a few MB of (a, b, sizes) ints, so AQE's
+    # byte-based partition coalescing folded the whole array-intersect
+    # stage onto 2 tasks (measured ~1.5 s wall on 2 of 32 cores) —
+    # bytes mispredict cost for CPU-dense array work. An explicit
+    # round-robin repartition to the session's shuffle width is exempt
+    # from coalescing; it shuffles only the int rows, never the
+    # shingle arrays, at any scale.
+    n_verify = int(cands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cands = cands.repartition(n_verify)
     a = sh.select(F.col("i").alias("a"), F.col("sh").alias("sha"))
     b = sh.select(F.col("i").alias("b"), F.col("sh").alias("shb"))
     joined = cands.join(a, on="a").join(b, on="b")

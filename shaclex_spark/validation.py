@@ -381,6 +381,17 @@ def _collect_classes(e: NodeExpr) -> set[str]:
 
 
 
+def direct_membership(triples: DataFrame) -> DataFrame:
+    """Direct rdf:type (inst, cls) relation — class_membership minus
+    the subClassOf closure, for graphs known to carry no subclass
+    arcs."""
+    return (triples.filter((F.col("pred") == RDF_TYPE)
+                           & (F.col("obj_kind") == "iri"))
+            .select(F.col("subj").alias("inst"),
+                    F.col("obj_value").alias("cls"))
+            .distinct())
+
+
 def class_membership(triples: DataFrame) -> DataFrame:
     """(inst, cls) membership with rdfs:subClassOf* closure — SHACL
     sh:class and targetClass include instances of subclasses
@@ -463,7 +474,15 @@ class ValidationEngine:
         driver action; schemas without class constraints never pay it),
         then reused across shapes."""
         if self._type_arcs_df is None:
-            self._type_arcs_df = class_membership(self.triples)
+            if not self._has_subclass:
+                # no rdfs:subClassOf arcs: membership IS the direct
+                # rdf:type relation — skip class_membership's own
+                # isEmpty probe (one full-scan driver action per
+                # engine, guide §1.2: every removed action is fixed
+                # serial latency off the query)
+                self._type_arcs_df = direct_membership(self.triples)
+            else:
+                self._type_arcs_df = class_membership(self.triples)
         return self._type_arcs_df
 
     def _maybe_persist(self, df: DataFrame) -> DataFrame:
@@ -1075,7 +1094,8 @@ class ValidationEngine:
                 & (F.col("obj_kind") == "iri")).limit(1).isEmpty()
         return self._has_subclass_memo
 
-    def _target_markers(self, shape: Shape) -> DataFrame:
+    def _target_markers(self, shape: Shape,
+                        targets: list | None = None) -> DataFrame:
         """Focus-term marker rows (f_kind, f_value, f_dt, f_lang) for
         the one-pass fast path — one pred-filter projection per target,
         NOT deduplicated (the grouped max-flag dedupes for free)."""
@@ -1090,7 +1110,7 @@ class ValidationEngine:
                               null_s.alias("f_dt"), null_s.alias("f_lang"))
 
         pieces: list[DataFrame] = []
-        for tgt in shape.targets:
+        for tgt in (shape.targets if targets is None else targets):
             if tgt.kind == "targetSubjectsOf":
                 pieces.append(_subj_rows(
                     t.filter(F.col("pred") == tgt.value), "subj"))
@@ -1130,21 +1150,52 @@ class ValidationEngine:
         cand-join path (same _fused_agg)."""
         reports: list[DataFrame] = []
         props = list(shape.properties)
-        ts = self._constraint_arcs(shape, props)
+        preds = {pc.path.iri for pc in props}
         null_s = F.lit(None).cast("string")
         subj_kind = F.when(F.col("subj").startswith("_:"), F.lit("bnode")) \
             .otherwise(F.lit("iri"))
-        arc_rows = ts.select(
+        # Subject-keyed targets (targetSubjectsOf; targetClass when the
+        # graph has no subClassOf arcs) group by the SAME term as the
+        # constraint arcs — their marker condition folds into the arc
+        # scan as a flag on the row itself instead of a second full
+        # scan unioned in (r6, guide §2.4: the one-pass union read the
+        # cached triple relation twice per shape; a row that is both
+        # marker and arc — e.g. a target predicate that is also
+        # constrained — counts once and flags once, exactly what the
+        # two-row union aggregated to). Term-keyed targets
+        # (targetObjectsOf, subclass-closed targetClass) still union
+        # marker rows keyed by their own term.
+        subj_conds: list[Column] = []
+        term_targets: list = []
+        for tgt in shape.targets:
+            if tgt.kind == "targetSubjectsOf":
+                subj_conds.append(F.col("pred") == tgt.value)
+            elif tgt.kind == "targetClass" and not self._has_subclass:
+                subj_conds.append((F.col("pred") == RDF_TYPE)
+                                  & (F.col("obj_kind") == "iri")
+                                  & (F.col("obj_value") == tgt.value))
+            else:
+                term_targets.append(tgt)
+        marker_cond = None
+        for c in subj_conds:
+            marker_cond = c if marker_cond is None else (marker_cond | c)
+        arc_cond = F.col("pred").isin(list(preds)) if preds else F.lit(False)
+        scan_cond = arc_cond if marker_cond is None \
+            else (arc_cond | marker_cond)
+        arcs = self.triples.filter(scan_cond).select(
             subj_kind.alias("f_kind"), F.col("subj").alias("f_value"),
             null_s.alias("f_dt"), null_s.alias("f_lang"),
             "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang",
-            F.lit(False).alias("__tgt"))
-        markers = self._target_markers(shape).select(
-            "f_kind", "f_value", "f_dt", "f_lang",
-            null_s.alias("pred"), null_s.alias("obj_kind"),
-            null_s.alias("obj_value"), null_s.alias("obj_dt"),
-            null_s.alias("obj_lang"), F.lit(True).alias("__tgt"))
-        arcs = arc_rows.unionByName(markers).withColumn(
+            (F.lit(False) if marker_cond is None else marker_cond)
+            .alias("__tgt"))
+        if term_targets:
+            markers = self._target_markers(shape, term_targets).select(
+                "f_kind", "f_value", "f_dt", "f_lang",
+                null_s.alias("pred"), null_s.alias("obj_kind"),
+                null_s.alias("obj_value"), null_s.alias("obj_dt"),
+                null_s.alias("obj_lang"), F.lit(True).alias("__tgt"))
+            arcs = arcs.unionByName(markers)
+        arcs = arcs.withColumn(
             KEY, node_key_col(F.col("f_kind"), F.col("f_value"),
                               F.col("f_dt"), F.col("f_lang")))
         grouped, ok = self._fused_agg(
