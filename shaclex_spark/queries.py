@@ -87,10 +87,17 @@ def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         for old in list(_KG_CACHE.values()):
             try:
                 old.unpersist()
+                derived = getattr(old, "_sx_type_arcs", None)
+                if derived is not None:
+                    derived.unpersist()
             except Exception:
                 pass
         _KG_CACHE.clear()
         df = kg_triples(spark, sf_dir).persist()
+        # engines may attach session-shared derived relations (class
+        # membership, subclass probe) to this object — see
+        # ValidationEngine._type_arcs; released with the cache above
+        df._sx_share_derived = True
         _KG_CACHE[key] = df
     return df
 

@@ -474,6 +474,10 @@ class ValidationEngine:
         driver action; schemas without class constraints never pay it),
         then reused across shapes."""
         if self._type_arcs_df is None:
+            shared = getattr(self.triples, "_sx_type_arcs", None)
+            if shared is not None:
+                self._type_arcs_df = shared
+                return shared
             if not self._has_subclass:
                 # no rdfs:subClassOf arcs: membership IS the direct
                 # rdf:type relation — skip class_membership's own
@@ -483,6 +487,16 @@ class ValidationEngine:
                 self._type_arcs_df = direct_membership(self.triples)
             else:
                 self._type_arcs_df = class_membership(self.triples)
+            if getattr(self.triples, "_sx_share_derived", False):
+                # session-shared KG cache (queries._kg_cached): the
+                # membership distinct re-ran its exchange in EVERY
+                # class-constrained query of the session — persist it
+                # alongside the triple cache; released together with it
+                self._type_arcs_df = self._type_arcs_df.persist()
+                try:
+                    self.triples._sx_type_arcs = self._type_arcs_df
+                except Exception:
+                    pass
         return self._type_arcs_df
 
     def _maybe_persist(self, df: DataFrame) -> DataFrame:
@@ -1087,11 +1101,23 @@ class ValidationEngine:
         One limit(1) probe, memoized per engine — the same scan
         class_membership pays on first use."""
         if getattr(self, "_has_subclass_memo", None) is None:
+            # cross-engine memo rides on the (session-cached) triples
+            # DataFrame object: every kg_* registry query builds a new
+            # engine over the SAME cached relation, and each probe is a
+            # full-scan driver action (guide §1.2 serial term)
+            shared = getattr(self.triples, "_sx_has_subclass", None)
+            if shared is not None:
+                self._has_subclass_memo = shared
+                return shared
             from .model import RDFS
 
             self._has_subclass_memo = not self.triples.filter(
                 (F.col("pred") == RDFS + "subClassOf")
                 & (F.col("obj_kind") == "iri")).limit(1).isEmpty()
+            try:
+                self.triples._sx_has_subclass = self._has_subclass_memo
+            except Exception:
+                pass
         return self._has_subclass_memo
 
     def _target_markers(self, shape: Shape,
