@@ -98,6 +98,11 @@ def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # membership, subclass probe) to this object — see
         # ValidationEngine._type_arcs; released with the cache above
         df._sx_share_derived = True
+        # kg_triples emits a FIXED predicate vocabulary (sources/kg.py)
+        # that never includes rdfs:subClassOf — pre-answering the probe
+        # saves a full-scan isEmpty that would otherwise serially
+        # materialize the cache before the first query's own job
+        df._sx_has_subclass = False
         _KG_CACHE[key] = df
     return df
 

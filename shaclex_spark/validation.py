@@ -436,11 +436,29 @@ def class_membership(triples: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@dataclass
 class ValidationResult:
-    conformance: DataFrame  # node, shape, conforms
-    report: DataFrame       # REPORT_SCHEMA
-    conforms: bool | None = None
+    """conformance: (node, shape, conforms); report: REPORT_SCHEMA.
+
+    The report relation is assembled LAZILY (r6, guide §1.2): its
+    pieces are hundreds of filter/select constructions — pure driver
+    py4j round-trips — and the hot consumers (the bench pipeline,
+    every conformance-only registry query) never read it. Building it
+    on first access moves that cost off the Amdahl serial term of
+    every validation that only consumes conformance."""
+
+    def __init__(self, conformance: DataFrame,
+                 report: DataFrame | None = None,
+                 report_fn=None):
+        self.conformance = conformance
+        self._report = report
+        self._report_fn = report_fn
+        self.conforms: bool | None = None
+
+    @property
+    def report(self) -> DataFrame:
+        if self._report is None:
+            self._report = self._report_fn()
+        return self._report
 
     def finish(self) -> "ValidationResult":
         self.conforms = self.report.limit(1).isEmpty()
@@ -737,11 +755,12 @@ class ValidationEngine:
                 ok_all = ok_all & c
             node_conf = df.select(KEY, *FCOLS, ok_all.alias("__self_ok"))
             full_flags["__self_ok"] = node_conf
-            # report rows per failing conjunct
+            # report rows per failing conjunct (thunked: report pieces
+            # are built only when the report relation is consumed)
             for cj, col in conjuncts:
                 comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
                 reports.append(
-                    df.filter(~col).select(
+                    lambda df=df, col=col, comp=comp: df.filter(~col).select(
                         F.col("f_value").alias("focus_node"),
                         shp.alias("source_shape"),
                         F.lit(comp).alias("component"),
@@ -832,15 +851,17 @@ class ValidationEngine:
                 total = total + F.coalesce(
                     F.col(f"__oneof_{gi}"), F.lit(False)).cast("int")
             one_ok = (total == 1)
-            reports.append(merged.filter(~one_ok).select(
-                F.col("f_value").alias("focus_node"),
-                shp.alias("source_shape"),
-                F.lit("OneOfConstraintComponent").alias("component"),
-                sev.alias("severity"),
-                F.lit(None).cast("string").alias("value"),
-                F.lit(None).cast("string").alias("path"),
-                msg.alias("message"),
-            ))
+            reports.append(lambda merged=merged, one_ok=one_ok:
+                           merged.filter(~one_ok).select(
+                               F.col("f_value").alias("focus_node"),
+                               shp.alias("source_shape"),
+                               F.lit("OneOfConstraintComponent")
+                               .alias("component"),
+                               sev.alias("severity"),
+                               F.lit(None).cast("string").alias("value"),
+                               F.lit(None).cast("string").alias("path"),
+                               msg.alias("message"),
+                           ))
             ok_flags.append(("__oneof_ok",
                              merged.select(KEY, one_ok.alias("__oneof_ok"))))
 
@@ -983,8 +1004,9 @@ class ValidationEngine:
                 if (pc.qualified or cj.kind == "hasValue"
                         or self._is_transparent_ref(cj)):
                     continue
-                col = compile_expr(cj, tc)
-                report_value_filters.append((pc, cj, on_path & ~col))
+                # filter built inside the report thunk: compile_expr is
+                # driver-side py4j work needed only when reports are read
+                report_value_filters.append((pc, cj, on_path))
 
         if shape.closed:
             # allowed = declared property paths + sh:ignoredProperties / EXTRA
@@ -993,7 +1015,8 @@ class ValidationEngine:
             off_path = F.col("pred").isNotNull() & ~F.col("pred").isin(list(allowed))
             aggs.append(F.count(F.when(off_path, F.lit(1))).alias("__n_closed_bad"))
             reports.append(
-                arcs.filter(off_path).select(
+                lambda arcs=arcs, off_path=off_path: arcs.filter(off_path)
+                .select(
                     F.col("f_value").alias("focus_node"),
                     F.lit(shape.label).alias("source_shape"),
                     F.lit("ClosedConstraintComponent").alias("component"),
@@ -1004,11 +1027,13 @@ class ValidationEngine:
                 )
             )
 
-        # per-value violation reports (before aggregation)
-        for pc, cj, flt in report_value_filters:
+        # per-value violation reports (before aggregation; thunked)
+        for pc, cj, on_path in report_value_filters:
             comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
             reports.append(
-                arcs.filter(flt).select(
+                lambda arcs=arcs, cj=cj, on_path=on_path, comp=comp, pc=pc,
+                tc=tc:
+                arcs.filter(on_path & ~compile_expr(cj, tc)).select(
                     F.col("f_value").alias("focus_node"),
                     F.lit(shape.label).alias("source_shape"),
                     F.lit(comp).alias("component"),
@@ -1275,18 +1300,19 @@ class ValidationEngine:
             if (pc.qualified or cj.kind == "true"
                     or self._is_transparent_ref(cj)):
                 continue
-            col = compile_expr(cj, tc)
             comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
-            reports.append(report_pairs.filter(~col).select(
-                F.col("src").alias("focus_node"),
-                F.lit(shape.label).alias("source_shape"),
-                F.lit(comp).alias("component"),
-                F.lit(pc.severity).alias("severity"),
-                F.col("v_value").alias("value"),
-                F.lit(pc.path.describe()).alias("path"),
-                F.lit(pc.message or shape.message).cast("string")
-                .alias("message"),
-            ))
+            reports.append(
+                lambda cj=cj, comp=comp, report_pairs=report_pairs, tc=tc,
+                pc=pc: report_pairs.filter(~compile_expr(cj, tc)).select(
+                    F.col("src").alias("focus_node"),
+                    F.lit(shape.label).alias("source_shape"),
+                    F.lit(comp).alias("component"),
+                    F.lit(pc.severity).alias("severity"),
+                    F.col("v_value").alias("value"),
+                    F.lit(pc.path.describe()).alias("path"),
+                    F.lit(pc.message or shape.message).cast("string")
+                    .alias("message"),
+                ))
         null_s = F.lit(None).cast("string")
         null_b = F.lit(None).cast("boolean")
         src_kind = F.when(F.col("src").startswith("_:"), F.lit("bnode")) \
@@ -1337,32 +1363,41 @@ class ValidationEngine:
         out = focus_g.select(KEY, *FCOLS, ok.alias("conforms"))
         return out, reports
 
-    def _card_reports(self, reports: list[DataFrame], grouped: DataFrame,
+    def _card_reports(self, reports: list, grouped: DataFrame,
                       shape: Shape, pc: PropertyConstraint, names: dict) -> None:
-        base_cols = lambda comp, flt: grouped.filter(flt).select(  # noqa: E731
-            F.col("f_value").alias("focus_node"),
-            F.lit(shape.label).alias("source_shape"),
-            F.lit(comp).alias("component"),
-            F.lit(pc.severity).alias("severity"),
-            F.lit(None).cast("string").alias("value"),
-            F.lit(pc.path.describe()).alias("path"),
-            F.lit(pc.message or shape.message).cast("string").alias("message"),
-        )
-        card = F.col(names["ok"]) if (pc.qualified or pc.exclusive) else F.col(names["total"])
+        """Appends report THUNKS (piece construction deferred to the
+        lazy report assembly)."""
+        def base_cols(comp, flt_fn):
+            return lambda: grouped.filter(flt_fn()).select(
+                F.col("f_value").alias("focus_node"),
+                F.lit(shape.label).alias("source_shape"),
+                F.lit(comp).alias("component"),
+                F.lit(pc.severity).alias("severity"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(pc.path.describe()).alias("path"),
+                F.lit(pc.message or shape.message).cast("string")
+                .alias("message"),
+            )
+
+        def card():
+            return F.col(names["ok"]) if (pc.qualified or pc.exclusive) \
+                else F.col(names["total"])
         if pc.min_count > 0:
             comp = ("QualifiedMinCountConstraintComponent" if pc.qualified
                     else "MinCountConstraintComponent")
-            reports.append(base_cols(comp, card < pc.min_count))
+            reports.append(base_cols(comp, lambda: card() < pc.min_count))
         if pc.max_count is not None:
             comp = ("QualifiedMaxCountConstraintComponent" if pc.qualified
                     else "MaxCountConstraintComponent")
-            reports.append(base_cols(comp, card > pc.max_count))
+            reports.append(base_cols(comp, lambda: card() > pc.max_count))
         for j in range(len([k for k in names if k.startswith("has_")])):
-            reports.append(base_cols("HasValueConstraintComponent",
-                                     F.col(names[f"has_{j}"]) < 1))
+            reports.append(base_cols(
+                "HasValueConstraintComponent",
+                lambda j=j: F.col(names[f"has_{j}"]) < 1))
         if pc.unique_lang:
-            reports.append(base_cols("UniqueLangConstraintComponent",
-                                     F.col(names["nlang"]) != F.col(names["ndlang"])))
+            reports.append(base_cols(
+                "UniqueLangConstraintComponent",
+                lambda: F.col(names["nlang"]) != F.col(names["ndlang"])))
 
     # -- group-cardinality blocks ----------------------------------------------
 
@@ -1422,7 +1457,7 @@ class ValidationEngine:
         if blk.max_count is not None:
             in_range = in_range & (k <= blk.max_count)
         ok = (bad == 0) & counts_consistent & in_range
-        reports.append(grouped.filter(~ok).select(
+        reports.append(lambda grouped=grouped, ok=ok: grouped.filter(~ok).select(
             F.col("f_value").alias("focus_node"),
             F.lit(shape.label).alias("source_shape"),
             F.lit("GroupCardinalityConstraintComponent").alias("component"),
@@ -1544,7 +1579,8 @@ class ValidationEngine:
                             F.col(f"__ra_{j}_{p_i}_reach_{s}") >= need)
             feasible_any = feasible_any | cond
 
-        reports.append(grouped.filter(~feasible_any).select(
+        reports.append(lambda grouped=grouped, feasible_any=feasible_any:
+                       grouped.filter(~feasible_any).select(
             F.col("f_value").alias("focus_node"),
             F.lit(shape.label).alias("source_shape"),
             F.lit("PartitionConstraintComponent").alias("component"),
@@ -1588,17 +1624,19 @@ class ValidationEngine:
             if (pc.qualified or cj.kind == "true"
                     or self._is_transparent_ref(cj)):
                 continue
-            col = compile_expr(cj, tc)
             comp = COMPONENT_NAMES.get(cj.kind, "NodeConstraintComponent")
-            reports.append(report_pairs.filter(~col).select(
-                F.col("src").alias("focus_node"),
-                F.lit(shape.label).alias("source_shape"),
-                F.lit(comp).alias("component"),
-                F.lit(pc.severity).alias("severity"),
-                F.col("v_value").alias("value"),
-                F.lit(pc.path.describe()).alias("path"),
-                F.lit(pc.message or shape.message).cast("string").alias("message"),
-            ))
+            reports.append(
+                lambda cj=cj, comp=comp, report_pairs=report_pairs, tc=tc,
+                pc=pc: report_pairs.filter(~compile_expr(cj, tc)).select(
+                    F.col("src").alias("focus_node"),
+                    F.lit(shape.label).alias("source_shape"),
+                    F.lit(comp).alias("component"),
+                    F.lit(pc.severity).alias("severity"),
+                    F.col("v_value").alias("value"),
+                    F.lit(pc.path.describe()).alias("path"),
+                    F.lit(pc.message or shape.message).cast("string")
+                    .alias("message"),
+                ))
         aggs = [
             F.count(F.lit(1)).alias("__n"),
             F.count(F.when(v_ok, F.lit(1))).alias("__ok_n"),
@@ -1685,7 +1723,8 @@ class ValidationEngine:
             viol_vals = theta.filter(
                 ~F.coalesce(good, F.lit(False))
             ).select("src", F.col("A.v_value").alias("value"))
-        reports.append(viol_vals.select(
+        reports.append(lambda viol_vals=viol_vals, comp_name=comp_name:
+                       viol_vals.select(
             F.col("src").alias("focus_node"),
             F.lit(shape.label).alias("source_shape"),
             F.lit(comp_name).alias("component"),
@@ -1761,7 +1800,20 @@ class ValidationEngine:
         targets_native=True asserts that ``focus`` is EXACTLY the
         unfiltered target_focus(...) of this schema over these triples
         — enabling the one-pass target fast path for eligible shapes
-        (callers that filter/subset the focus must leave it False)."""
+        (callers that filter/subset the focus must leave it False).
+
+        ``focus`` may be a zero-arg callable returning the focus
+        DataFrame: for all-fast-path schemas the focus relation is
+        only consumed by the (lazy) report assembly, so a callable
+        defers its whole plan construction off the conformance path
+        (guide §1.2 driver serial term)."""
+        _focus_memo: list = []
+
+        def _focus() -> DataFrame:
+            if not _focus_memo:
+                _focus_memo.append(focus() if callable(focus) else focus)
+            return _focus_memo[0]
+
         ref_free = not self._ref_edges()
         fast_lbls: set[str] = set()
         cfast_lbls: set[str] = set()
@@ -1785,15 +1837,15 @@ class ValidationEngine:
             slow_lbls = [lbl for lbl in self.schema.shapes
                          if lbl not in fast_lbls]
             if slow_lbls:
-                focus_slow = (focus if not fast_lbls else
-                              focus.filter(F.col("shape").isin(slow_lbls)))
+                focus_slow = (_focus() if not fast_lbls else
+                              _focus().filter(F.col("shape").isin(slow_lbls)))
                 base = self._maybe_persist(focus_to_candidates(focus_slow))
                 cands = {lbl: base.filter(F.col("shape") == lbl).drop("shape")
                          for lbl in slow_lbls}
             else:
                 cands = {}
         else:
-            cands = self._propagate_candidates(focus)
+            cands = self._propagate_candidates(_focus())
             # candidate sets are reused by every constraint sub-plan of
             # a shape (fused agg, complex paths, pairwise, reports):
             # persist lazily so each materializes at most once.
@@ -1863,31 +1915,38 @@ class ValidationEngine:
             )
             conformance = piece if conformance is None else conformance.unionByName(piece)
 
-        if all_reports:
-            report = all_reports[0]
-            for r in all_reports[1:]:
-                report = report.unionByName(r)
-        else:
-            from .model import REPORT_SCHEMA
-            report = self.spark.createDataFrame([], REPORT_SCHEMA)
-        # report violations for the shapes' own focus plus everything a
-        # TRANSPARENT (nested sh:property) shape produced on derived
-        # candidates; opaque ref targets report only via the parent's
-        # NodeConstraintComponent (SHACL sh:node vs sh:property split).
-        focus_nodes = focus.select(F.col("node").alias("focus_node"),
-                                   F.col("shape").alias("source_shape")).distinct()
-        # NOTE: no broadcast hint — the focus set is data-sized (every
-        # instance of a targetClass: millions of rows at 100-TB scale);
-        # a forced broadcast would OOM the driver. AQE picks broadcast
-        # on its own when the set is actually small.
-        kept = report.join(focus_nodes,
-                           on=["focus_node", "source_shape"], how="left_semi")
-        transparent = [lbl for lbl, sh in self.schema.shapes.items()
-                       if sh.transparent]
-        if transparent:
-            kept = kept.unionByName(
-                report.filter(F.col("source_shape").isin(transparent)))
-        report = kept
+        def _assemble_report() -> DataFrame:
+            # pieces are thunks (lazy report, see ValidationResult):
+            # built only when a consumer actually reads the report
+            if all_reports:
+                report = all_reports[0]()
+                for r in all_reports[1:]:
+                    report = report.unionByName(r())
+            else:
+                from .model import REPORT_SCHEMA
+                return self.spark.createDataFrame([], REPORT_SCHEMA)
+            # report violations for the shapes' own focus plus
+            # everything a TRANSPARENT (nested sh:property) shape
+            # produced on derived candidates; opaque ref targets report
+            # only via the parent's NodeConstraintComponent (SHACL
+            # sh:node vs sh:property split).
+            focus_nodes = _focus().select(
+                F.col("node").alias("focus_node"),
+                F.col("shape").alias("source_shape")).distinct()
+            # NOTE: no broadcast hint — the focus set is data-sized
+            # (every instance of a targetClass: millions of rows at
+            # 100-TB scale); a forced broadcast would OOM the driver.
+            # AQE picks broadcast on its own when the set is small.
+            kept = report.join(focus_nodes,
+                               on=["focus_node", "source_shape"],
+                               how="left_semi")
+            transparent = [lbl for lbl, sh in self.schema.shapes.items()
+                           if sh.transparent]
+            if transparent:
+                kept = kept.unionByName(
+                    report.filter(F.col("source_shape").isin(transparent)))
+            return kept
+
         if not ref_free:
             # ref schemas propagate candidates BEYOND the focus (values
             # reachable via shape refs get their own conformance rows);
@@ -1895,11 +1954,12 @@ class ValidationEngine:
             # ref-free schemas conf == focus by construction (candidates
             # ARE the focus split per shape), so the semi-join — and
             # its full recomputation of the focus sub-plan — is skipped.
-            focus_pairs = focus.select("node", "shape").distinct()
+            focus_pairs = _focus().select("node", "shape").distinct()
             conformance = conformance.join(focus_pairs,
                                            on=["node", "shape"],
                                            how="left_semi")
-        return ValidationResult(conformance=conformance, report=report)
+        return ValidationResult(conformance=conformance,
+                                report_fn=_assemble_report)
 
 
 def pred_pairs_for(triples: DataFrame, iri: str, srcs: DataFrame) -> DataFrame:
