@@ -95,6 +95,44 @@ def main_plans(outdir: str, names: list[str] | None = None) -> None:
     spark.stop()
 
 
+def main_all(sf_dir: str | None = None, passes: int = 2) -> None:
+    """Time EVERY registry query (not just headline) — the round-6
+    whole-surface checklist measurement. sf defaults to sf0.01 so the
+    heavy quadratic oracles stay cheap; pass sf0.1 explicitly for the
+    headline-scale numbers."""
+    import __spark_entry__ as E
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    spark = _session()
+    queries = E.queries()
+    names = [n for n in queries
+             if n not in ("shex_suite_scorecard", "kg_shacl_meta")]
+    for name in names:
+        try:
+            _force(queries[name](spark, "/root/testdata/sf0.001"))
+        except Exception as e:
+            print(f"WARMUP FAIL {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    spark.catalog.clearCache()
+    best: dict[str, float] = {}
+    first: dict[str, float] = {}
+    for _pass in range(passes):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"{name} pass{_pass}")
+            t0 = time.time()
+            _force(queries[name](spark, sf))
+            dt = round(time.time() - t0, 3)
+            spark.sparkContext.setJobDescription(None)
+            if _pass == 0:
+                first[name] = dt
+            best[name] = min(dt, best.get(name, dt))
+    print(json.dumps({"sf": sf, "first": first, "min": best,
+                      "total_first": round(sum(first.values()), 3),
+                      "total_min": round(sum(best.values()), 3)}))
+    spark.stop()
+
+
 def main_one(name: str, n: int) -> None:
     import __spark_entry__ as E
 
@@ -113,5 +151,7 @@ if __name__ == "__main__":
         main_plans(sys.argv[2], sys.argv[3:] or None)
     elif len(sys.argv) >= 3 and sys.argv[1] == "one":
         main_one(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    elif len(sys.argv) >= 2 and sys.argv[1] == "all":
+        main_all(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         main_time()

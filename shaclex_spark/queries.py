@@ -93,7 +93,24 @@ def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass
         _KG_CACHE.clear()
-        df = kg_triples(spark, sf_dir).persist()
+        # Cluster the cached relation by (pred, subj) before persisting
+        # (guide §6: sort order on write determines reader skipping —
+        # the same rule applied to the in-memory columnar cache, whose
+        # batch-level min/max stats prune batches under filters,
+        # spark.sql.inMemoryColumnarStorage.partitionPruning). Every
+        # kg_* consumer scans this cache pred-filtered (constraint-arc
+        # scans, target markers, class membership, path steps); with
+        # the build-order layout each such scan decoded ALL ~865k rows
+        # per query — clustered, a pred filter decodes only its own
+        # batches. subj as the secondary range key splits heavy preds
+        # across partitions (a pred-only range key would put one pred's
+        # 150k rows in one partition — §2.5 skew). Width follows the
+        # session's parallelism, not a constant.
+        n_parts = max(spark.sparkContext.defaultParallelism, 16)
+        df = (kg_triples(spark, sf_dir)
+              .repartitionByRange(n_parts, "pred", "subj")
+              .sortWithinPartitions("pred", "subj")
+              .persist())
         # engines may attach session-shared derived relations (class
         # membership, subclass probe) to this object — see
         # ValidationEngine._type_arcs; released with the cache above
@@ -116,11 +133,16 @@ def _validate(spark: SparkSession, sf_dir: str, shapes: list[dict],
     triples = _kg_cached(spark, sf_dir)
     schema = SchemaDict.from_json(shapes)
     engine = ValidationEngine(spark, schema, triples)
-    focus = target_focus(spark, schema, triples)
     _LIVE_CACHES.append(engine)
     # targets_native: focus IS the unfiltered target_focus of this
-    # schema — eligible shapes take the one-pass fast path (r6 opt)
-    return engine.validate(focus, targets_native=True)
+    # schema — eligible shapes take the one-pass fast path (r6 opt).
+    # Callable focus: for all-fast-path schemas the focus relation only
+    # backs the lazy report, so its whole plan construction (including
+    # the targetClass membership sub-plan) is deferred off the
+    # conformance path (guide §1.2 driver serial term) — same contract
+    # pipeline.validate_kg uses.
+    return engine.validate(lambda: target_focus(spark, schema, triples),
+                           targets_native=True)
 
 
 # ---------------------------------------------------------------------------

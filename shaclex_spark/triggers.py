@@ -48,10 +48,13 @@ def target_focus(spark: SparkSession, schema: SchemaDict,
                     "node_kind string, node_dt string, node_lang string")
                 pieces.append(row)
             elif t.kind == "targetClass":
-                # includes instances of rdfs:subClassOf* subclasses
+                # includes instances of rdfs:subClassOf* subclasses;
+                # membership_for reuses session-shared derived state /
+                # the pre-answered subclass probe instead of running
+                # class_membership's eager full-scan isEmpty here
                 if membership is None:
-                    from .validation import class_membership
-                    membership = class_membership(triples)
+                    from .validation import membership_for
+                    membership = membership_for(triples)
                 # no per-branch distinct: the single final distinct()
                 # below dedupes the whole union in ONE exchange (its
                 # partial aggregate dedupes map-side), where per-branch
