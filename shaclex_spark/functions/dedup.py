@@ -182,11 +182,15 @@ def prefix_filter_candidates(sh: DataFrame,
     PERF (r6, guide §2.4/§5): (a) the per-doc set size rides in from
     F.size on the pre-explode array instead of a second count window
     (same exchange, one window pass less); (b) the ranked-prefix
-    relation is materialized ONCE (lazy localCheckpoint) — it feeds
-    BOTH sides of the token self-join, and without the barrier the
-    whole explode → doc-frequency join → window pipeline executed
-    twice, once per join side (the broadcast side rebuilt it from
-    scratch in the round-start plan)."""
+    relation is materialized ONCE (persist) — it feeds BOTH sides of
+    the token self-join, and without sharing the whole explode →
+    doc-frequency join → window pipeline executed twice, once per
+    join side (the broadcast side rebuilt it from scratch in the
+    round-start plan). persist, NOT lazy localCheckpoint: a lazy
+    checkpoint plans the whole subtree at construction time — pure
+    driver latency (guide §1.2, measured ~0.5 s of the registry
+    query's build). The handle rides on the result as _sx_caches for
+    callers that manage cache lifetime."""
     from pyspark.sql import Window
 
     tok = sh.select("i", F.size("sh").alias("__sz"),
@@ -197,7 +201,7 @@ def prefix_filter_candidates(sh: DataFrame,
               .withColumn("__rk", F.row_number().over(w)))
     prefix = ranked.filter(
         F.col("__rk") <= F.col("__sz") - F.ceil(threshold * F.col("__sz"))
-        + 1).select("i", "s", "__rk", "__sz").localCheckpoint(eager=False)
+        + 1).select("i", "s", "__rk", "__sz").persist()
     left = prefix.select(F.col("s"), F.col("i").alias("a"),
                          F.col("__rk").alias("__ra"),
                          F.col("__sz").alias("__sa"))
@@ -218,13 +222,15 @@ def prefix_filter_candidates(sh: DataFrame,
     # sizes ride along (functionally dependent on (a, b), so the
     # distinct keeps its cardinality): the caller's exact-verify join
     # needs them and would otherwise re-join the size relation twice
-    return (left.join(right, on="s")
-            .filter((F.col("a") < F.col("b"))
-                    & (F.least("__sa", "__sb").cast("double")
-                       >= threshold * F.greatest("__sa", "__sb"))
-                    & (ubound >= o))
-            .select("a", "b", F.col("__sa").alias("sza"),
-                    F.col("__sb").alias("szb")).distinct())
+    out = (left.join(right, on="s")
+           .filter((F.col("a") < F.col("b"))
+                   & (F.least("__sa", "__sb").cast("double")
+                      >= threshold * F.greatest("__sa", "__sb"))
+                   & (ubound >= o))
+           .select("a", "b", F.col("__sa").alias("sza"),
+                   F.col("__sb").alias("szb")).distinct())
+    out._sx_caches = [prefix]
+    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
@@ -297,12 +303,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     joined = cands.join(a, on="a").join(b, on="b")
     # |A∪B| = |A|+|B|-|A∩B|: one array op per pair instead of two
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    return (joined
-            .withColumn("__i", inter)
-            .withColumn("jaccard", F.col("__i").cast("double")
-                        / (F.col("sza") + F.col("szb") - F.col("__i")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    out = (joined
+           .withColumn("__i", inter)
+           .withColumn("jaccard", F.col("__i").cast("double")
+                       / (F.col("sza") + F.col("szb") - F.col("__i")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    out._sx_caches = getattr(cands, "_sx_caches", [])
+    return out
 
 
 def simhash_md5_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -57,19 +57,23 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
       shape, pred, constraint (IRI | BNode | <datatype iri> | Literal |
       Any), min_card (0|1), max_card ('1' | '*'), n_nodes, n_values
     """
-    # materialized once (lazy localCheckpoint): three consumers read
-    # the arc relation (per-node lattice counts, datatype stats, focus
-    # population) — without the barrier each branch re-ran the focus
+    # materialized once (persist): three consumers read the arc
+    # relation (per-node lattice counts, datatype stats, focus
+    # population) — without sharing each branch re-ran the focus
     # distinct + the neighborhood join from the raw scan (guide §5:
     # reuse beats recompute when multiple aggregation branches share
     # one data-sized intermediate; measured 5 full triple-relation
-    # scans -> 2 at sf0.1)
+    # scans -> 2 at sf0.1). persist, NOT lazy localCheckpoint: a lazy
+    # checkpoint converts the plan to an RDD at CONSTRUCTION time —
+    # full analysis/optimization/physical planning as pure driver
+    # latency before any job (measured 1.3 s of the registry query's
+    # build). The persisted handles ride on the result as _sx_caches
+    # for callers that manage cache lifetime (queries._LIVE_CACHES).
     nodes = focus_nodes.select(
-        F.col(focus_nodes.columns[0]).alias("node")).distinct() \
-        .localCheckpoint(eager=False)
+        F.col(focus_nodes.columns[0]).alias("node")).distinct().persist()
 
     arcs = nodes.join(triples, on=nodes["node"] == triples["subj"]) \
-        .drop("subj").localCheckpoint(eager=False)
+        .drop("subj").persist()
 
     # PERF (r6, guide §2.3/§1.2): the lattice aggregation is pure long
     # counters — no countDistinct, no min over a string column. The old
@@ -132,7 +136,7 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
     # otherwise {0,*} (missing nodes count 0 ⇒ min_card 0)
     exactly_one = (F.col("n_nodes") == F.col("__n_focus")) \
         & (F.col("min_cnt") == 1) & (F.col("max_cnt") == 1)
-    return shape.select(
+    out = shape.select(
         F.lit(label).alias("shape"),
         F.col("pred"),
         constraint.alias("constraint"),
@@ -140,6 +144,8 @@ def infer_shape(triples: DataFrame, focus_nodes: DataFrame,
         F.when(exactly_one, F.lit("1")).otherwise(F.lit("*")).alias("max_card"),
         "n_nodes", "n_values",
     )
+    out._sx_caches = [nodes, arcs]
+    return out
 
 
 def infer_schema(triples: DataFrame, focus_nodes: DataFrame,

@@ -210,8 +210,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_spread(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", shingle_k=3).persist()
     _LIVE_CACHES.append(sh)  # released by the next registry query
-    return ngram_jaccard_pairs(docs, threshold=0.4, shingle_k=3,
-                               shingles=sh)
+    out = ngram_jaccard_pairs(docs, threshold=0.4, shingle_k=3,
+                              shingles=sh)
+    _LIVE_CACHES.extend(getattr(out, "_sx_caches", []))
+    return out
 
 
 @query("data_curate", oracle=r"""
@@ -323,6 +325,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LIVE_CACHES.append(sh)
     truth = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3,
                                 shingles=sh)
+    _LIVE_CACHES.extend(getattr(truth, "_sx_caches", []))
     cands = lsh_candidates(docs, "doc_id", "text", n_bands=8,
                            rows_per_band=3, shingle_k=3,
                            max_bucket_size=MAX_BUCKET_SIZE, shingles=sh,
@@ -544,13 +547,19 @@ SELECT 'CustomerProfile' AS shape, pred,
 FROM shape
 """)
 def kg_infer_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .queries import _kg_cached
+    from .queries import _LIVE_CACHES, _kg_cached, _release_previous_caches
 
+    _release_previous_caches()
     triples = _kg_cached(spark, sf_dir)
     focus = (triples.filter((F.col("pred") == RDF_TYPE)
                             & (F.col("obj_value") == EX + "Customer"))
              .select("subj"))
-    return infer_shape(triples, focus, label="CustomerProfile")
+    out = infer_shape(triples, focus, label="CustomerProfile")
+    # infer_shape's shared intermediates (focus distinct + neighborhood
+    # arcs) are persisted, not checkpointed — release them with the
+    # next registry query like every other per-query cache
+    _LIVE_CACHES.extend(getattr(out, "_sx_caches", []))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1064,6 +1073,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LIVE_CACHES.append(sh)
     pairs = ngram_jaccard_pairs(docs, threshold=0.9, shingle_k=3,
                                 shingles=sh)
+    _LIVE_CACHES.extend(getattr(pairs, "_sx_caches", []))
     # CC operates on strings; zero-pad so lexicographic min == numeric
     # min (doc_ids are non-negative and < 10^12)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
