@@ -93,22 +93,29 @@ def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass
         _KG_CACHE.clear()
-        # Cluster the cached relation by (pred, subj) before persisting
-        # (guide §6: sort order on write determines reader skipping —
-        # the same rule applied to the in-memory columnar cache, whose
+        # Cluster the cached relation by pred before persisting (guide
+        # §6: sort order on write determines reader skipping — the
+        # same rule applied to the in-memory columnar cache, whose
         # batch-level min/max stats prune batches under filters,
         # spark.sql.inMemoryColumnarStorage.partitionPruning). Every
         # kg_* consumer scans this cache pred-filtered (constraint-arc
         # scans, target markers, class membership, path steps); with
         # the build-order layout each such scan decoded ALL ~865k rows
         # per query — clustered, a pred filter decodes only its own
-        # batches. subj as the secondary range key splits heavy preds
-        # across partitions (a pred-only range key would put one pred's
-        # 150k rows in one partition — §2.5 skew). Width follows the
-        # session's parallelism, not a constant.
+        # batches. Layout: hash-partition on (pred, 16-way subj salt) —
+        # deterministic and ONE pass, where repartitionByRange paid an
+        # extra full sampling scan of the union at materialization —
+        # then sort within partitions so each pred is a contiguous run
+        # of near-pure batches. The salt splits heavy predicates
+        # across partitions (§2.5 skew: a pred-only key would put one
+        # pred's 150k rows in one partition) and bounds distinct
+        # (pred, salt) groups per partition to a handful, so batch
+        # purity survives. Width follows the session's parallelism,
+        # not a constant.
         n_parts = max(spark.sparkContext.defaultParallelism, 16)
         df = (kg_triples(spark, sf_dir)
-              .repartitionByRange(n_parts, "pred", "subj")
+              .repartition(n_parts, F.col("pred"),
+                           F.pmod(F.xxhash64("subj"), F.lit(16)))
               .sortWithinPartitions("pred", "subj")
               .persist())
         # engines may attach session-shared derived relations (class
